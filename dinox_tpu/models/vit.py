@@ -1,0 +1,322 @@
+"""PatchViT with ScaleEmbedding — the canonical dinox_tpu architecture (flax).
+
+Functionally equivalent to the reference architecture (reference: zoo/arch.py),
+re-designed TPU-first:
+
+* NHWC image layout (TPU conv-friendly); patch embedding is a strided Conv.
+* Compute in bfloat16 on the MXU, parameters in float32.
+* Attention dispatches to a fused Pallas flash-attention kernel on TPU
+  (``attn_impl="pallas"``) with an XLA fallback (``attn_impl="xla"``) — the
+  analog of the reference's SDPA backend selector (zoo/arch.py:51,
+  scripts/phase5_big_run.py:1081-1101).
+* Per-block rematerialization via ``flax.linen.remat`` replaces
+  ``torch.utils.checkpoint`` (zoo/arch.py:231-235).
+
+Semantics preserved exactly for checkpoint compatibility:
+
+* timm-style naming (qkv/proj/fc1/fc2) so LoRA target-module matching and the
+  torch<->JAX key bijection are deterministic (zoo/arch.py:6-8).
+* Token order [CLS, patches..., registers]; positional embedding covers
+  CLS+patches only; ScaleEmbedding is added to CLS+patch tokens *before*
+  registers are appended (zoo/arch.py:214-229).
+* ScaleEmbedding: 3 -> max(dim//4, 16) -> GELU -> dim -> LayerNorm, with the
+  output Dense **zero-initialized** so a fresh ScaleEmbedding is a no-op
+  (zoo/arch.py:119-130).
+* Exact (erf) GELU everywhere, matching torch's nn.GELU default.
+* LayerNorm eps 1e-5 (torch default).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from dinox_tpu.models.config import ModelConfig
+
+Dtype = jnp.dtype
+
+
+def _gelu(x: jnp.ndarray) -> jnp.ndarray:
+    # torch nn.GELU() is the exact erf formulation.
+    return nn.gelu(x, approximate=False)
+
+
+xavier_uniform = nn.initializers.xavier_uniform()
+trunc02 = nn.initializers.truncated_normal(stddev=0.02)
+trunc01 = nn.initializers.truncated_normal(stddev=0.1)
+
+
+def sdpa_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Scaled dot-product attention in plain XLA.
+
+    q, k, v: (B, H, N, D). Softmax is computed in float32 for stability
+    (matches the numerically safe forms the reference needed on bf16,
+    scripts/phase5_big_run.py:1843-1850); output is cast back to q.dtype.
+    """
+    d = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits * scale, axis=-1)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(q.dtype), v, preferred_element_type=jnp.float32
+    ).astype(q.dtype)
+
+
+def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, impl: str = "xla") -> jnp.ndarray:
+    """Attention dispatch: Pallas fused kernel on TPU, XLA elsewhere."""
+    if impl == "pallas" and jax.default_backend() not in ("cpu",):
+        from dinox_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v)
+    return sdpa_xla(q, k, v)
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention with explicit fused QKV projection.
+
+    Dense layers named ``qkv`` / ``proj`` for LoRA targeting and for the
+    torch key bijection (reference: zoo/arch.py:28-54).
+    """
+
+    dim: int
+    num_heads: int
+    attn_impl: str = "xla"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, N, C = x.shape
+        hd = self.dim // self.num_heads
+        qkv = nn.Dense(
+            3 * self.dim, dtype=self.dtype, param_dtype=jnp.float32,
+            kernel_init=xavier_uniform, name="qkv",
+        )(x)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, hd)
+        q, k, v = (jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3))
+        out = sdpa(q, k, v, impl=self.attn_impl)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, C)
+        return nn.Dense(
+            self.dim, dtype=self.dtype, param_dtype=jnp.float32,
+            kernel_init=xavier_uniform, name="proj",
+        )(out)
+
+
+class Mlp(nn.Module):
+    """Two-layer MLP with exact GELU; fc1/fc2 naming (reference: zoo/arch.py:62-76)."""
+
+    dim: int
+    mlp_ratio: float = 4.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        hidden = int(self.dim * self.mlp_ratio)
+        x = nn.Dense(
+            hidden, dtype=self.dtype, param_dtype=jnp.float32,
+            kernel_init=xavier_uniform, name="fc1",
+        )(x)
+        x = _gelu(x)
+        return nn.Dense(
+            self.dim, dtype=self.dtype, param_dtype=jnp.float32,
+            kernel_init=xavier_uniform, name="fc2",
+        )(x)
+
+
+class TransformerBlock(nn.Module):
+    """Pre-norm transformer block (reference: zoo/arch.py:84-97)."""
+
+    dim: int
+    heads: int
+    mlp_ratio: float = 4.0
+    attn_impl: str = "xla"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        ln = partial(nn.LayerNorm, epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32)
+        x = x + Attention(
+            self.dim, self.heads, attn_impl=self.attn_impl, dtype=self.dtype, name="attn"
+        )(ln(name="norm1")(x))
+        x = x + Mlp(self.dim, self.mlp_ratio, dtype=self.dtype, name="mlp")(
+            ln(name="norm2")(x)
+        )
+        return x
+
+
+class ScaleEmbedding(nn.Module):
+    """Physical spacing (sx, sy, slice_thickness in mm) -> (B, 1, dim).
+
+    Zero-initialized output Dense: fresh module produces exactly zeros, so
+    scale awareness can be added to an existing checkpoint without perturbing
+    it (reference: zoo/arch.py:105-140).
+    """
+
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, spacing: jnp.ndarray) -> jnp.ndarray:
+        hidden = max(self.dim // 4, 16)
+        x = nn.Dense(
+            hidden, dtype=self.dtype, param_dtype=jnp.float32,
+            kernel_init=xavier_uniform, name="fc1",
+        )(spacing.astype(self.dtype))
+        x = _gelu(x)
+        x = nn.Dense(
+            self.dim, dtype=self.dtype, param_dtype=jnp.float32,
+            kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros, name="fc2",
+        )(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm")(x)
+        return x[:, None, :]
+
+
+class PatchViT(nn.Module):
+    """Patch ViT with optional ScaleEmbedding (reference: zoo/arch.py:148-238).
+
+    Input: NHWC float images (B, H, W, 3). Returns all tokens (B, N, dim) in
+    float32 after the final LayerNorm; token order [CLS, patches, registers].
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        spacing: Optional[jnp.ndarray] = None,
+        *,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        B = x.shape[0]
+
+        # Strided conv patch embedding == unfold+matmul; XLA maps it to the MXU.
+        x = nn.Conv(
+            cfg.dim,
+            kernel_size=(cfg.patch, cfg.patch),
+            strides=(cfg.patch, cfg.patch),
+            padding="VALID",
+            dtype=dtype,
+            param_dtype=jnp.float32,
+            kernel_init=trunc02,
+            name="patch_embed",
+        )(x.astype(dtype))
+        x = x.reshape(B, -1, cfg.dim)  # (B, n_patches, dim), row-major == torch flatten(2)
+
+        cls_token = self.param("cls_token", trunc02, (1, 1, cfg.dim), jnp.float32)
+        pos_embed = self.param("pos_embed", trunc01, (1, 1 + cfg.n_patches, cfg.dim), jnp.float32)
+
+        x = jnp.concatenate([jnp.broadcast_to(cls_token.astype(dtype), (B, 1, cfg.dim)), x], axis=1)
+        x = x + pos_embed.astype(dtype)
+
+        if cfg.scale_aware and spacing is not None:
+            x = x + ScaleEmbedding(cfg.dim, dtype=dtype, name="scale_embed")(spacing)
+        elif cfg.scale_aware:
+            # Materialize params so the tree is stable regardless of inputs.
+            ScaleEmbedding(cfg.dim, dtype=dtype, name="scale_embed")(
+                jnp.ones((B, 3), dtype)
+            )
+
+        if cfg.num_registers > 0:
+            registers = self.param(
+                "registers", trunc02, (1, cfg.num_registers, cfg.dim), jnp.float32
+            )
+            x = jnp.concatenate(
+                [x, jnp.broadcast_to(registers.astype(dtype), (B, cfg.num_registers, cfg.dim))],
+                axis=1,
+            )
+
+        block_cls = TransformerBlock
+        if cfg.use_grad_checkpoint and train:
+            block_cls = nn.remat(TransformerBlock, prevent_cse=False)
+        for i in range(cfg.depth):
+            x = block_cls(
+                cfg.dim, cfg.heads, cfg.mlp_ratio,
+                attn_impl=cfg.attn_impl, dtype=dtype, name=f"blocks_{i}",
+            )(x)
+
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name="norm")(
+            x.astype(jnp.float32)
+        )
+        return x
+
+
+class DinoHead(nn.Module):
+    """DINO projection head: dim -> dim -> GELU -> out_dim (zoo/arch.py:249-256)."""
+
+    dim: int
+    out_dim: int = 8192
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(
+            self.dim, dtype=self.dtype, param_dtype=jnp.float32,
+            kernel_init=xavier_uniform, name="fc1",
+        )(x)
+        x = _gelu(x)
+        x = nn.Dense(
+            self.out_dim, dtype=self.dtype, param_dtype=jnp.float32,
+            kernel_init=xavier_uniform, name="fc2",
+        )(x)
+        return x.astype(jnp.float32)
+
+
+class DinoStudentTeacher(nn.Module):
+    """Backbone + projection head on the CLS token (reference: zoo/arch.py:246-261).
+
+    In JAX the student and teacher are the *same* module applied to two
+    parameter pytrees; the teacher tree is updated by EMA outside the module.
+    """
+
+    cfg: ModelConfig
+
+    def setup(self) -> None:
+        self.backbone = PatchViT(self.cfg, name="backbone")
+        self.head = DinoHead(
+            self.cfg.dim, self.cfg.out_dim, dtype=jnp.dtype(self.cfg.dtype), name="head"
+        )
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        spacing: Optional[jnp.ndarray] = None,
+        *,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        feats = self.backbone(x, spacing, train=train)
+        return self.head(feats[:, 0])
+
+    def forward_features(
+        self,
+        x: jnp.ndarray,
+        spacing: Optional[jnp.ndarray] = None,
+        *,
+        train: bool = False,
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Returns (head_output (B, out_dim), all_tokens (B, N, dim))."""
+        feats = self.backbone(x, spacing, train=train)
+        return self.head(feats[:, 0]), feats
+
+
+def init_model(
+    cfg: ModelConfig, rng: jax.Array, batch: int = 2
+) -> dict:
+    """Initialize a DinoStudentTeacher parameter tree."""
+    model = DinoStudentTeacher(cfg)
+    x = jnp.zeros((batch, cfg.img_size, cfg.img_size, 3), jnp.float32)
+    spacing = jnp.ones((batch, 3), jnp.float32) if cfg.scale_aware else None
+    return model.init(rng, x, spacing)["params"]
+
+
+def init_backbone(cfg: ModelConfig, rng: jax.Array, batch: int = 2) -> dict:
+    """Initialize a bare PatchViT parameter tree."""
+    model = PatchViT(cfg)
+    x = jnp.zeros((batch, cfg.img_size, cfg.img_size, 3), jnp.float32)
+    spacing = jnp.ones((batch, 3), jnp.float32) if cfg.scale_aware else None
+    return model.init(rng, x, spacing)["params"]
