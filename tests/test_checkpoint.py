@@ -1,0 +1,101 @@
+"""Checkpoint/resume tests: save-restore fidelity, rotation, auto-resume,
+emergency save, and resume-continues-identically (the canary's resume-fidelity
+property, scripts/integration_canary.py:189-272, as a unit test)."""
+
+import jax
+import numpy as np
+import pytest
+
+from dinox_tpu.train.checkpoint import CheckpointManager, find_latest_run
+from dinox_tpu.train.state import create_train_state
+from dinox_tpu.train.step import build_train_step
+from tests.test_train_step import TINY, fake_batch
+
+
+def trees_equal(a, b):
+    la, lb = jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_save_restore_roundtrip(tmp_path):
+    state = create_train_state(TINY, jax.random.key(0))
+    mgr = CheckpointManager(tmp_path / "run", keep_last=3, async_save=False)
+    mgr.save(0, state, config={"lr": 1e-4}, loader_position=(2, 7))
+    mgr.wait()
+    template = create_train_state(TINY, jax.random.key(1))  # different values
+    restored, meta = mgr.restore(template)
+    trees_equal(restored, state)
+    assert meta["loader_epoch"] == 2 and meta["loader_batch"] == 7
+    assert meta["config"]["lr"] == 1e-4
+    mgr.close()
+
+
+def test_rotation_keeps_last_n(tmp_path):
+    state = create_train_state(TINY, jax.random.key(0))
+    mgr = CheckpointManager(tmp_path / "run", keep_last=2, async_save=False)
+    for s in (1, 2, 3, 4):
+        mgr.save(s, state)
+    mgr.wait()
+    assert mgr.latest_step() == 4
+    steps = sorted(int(p.name) for p in (tmp_path / "run" / "ckpt").iterdir() if p.name.isdigit())
+    assert steps == [3, 4]
+    mgr.close()
+
+
+def test_restore_empty_raises(tmp_path):
+    mgr = CheckpointManager(tmp_path / "run", async_save=False)
+    with pytest.raises(FileNotFoundError):
+        mgr.restore(create_train_state(TINY, jax.random.key(0)))
+    mgr.close()
+
+
+def test_find_latest_run(tmp_path):
+    assert find_latest_run(tmp_path) is None
+    state = create_train_state(TINY, jax.random.key(0))
+    for name in ("run_a", "run_b"):
+        m = CheckpointManager(tmp_path / name, async_save=False)
+        m.save(1, state)
+        m.close()
+    (tmp_path / "run_b" / "touch").write_text("x")
+    assert find_latest_run(tmp_path).name == "run_b"
+
+
+def test_emergency_save_writes_marker(tmp_path):
+    state = create_train_state(TINY, jax.random.key(0))
+    mgr = CheckpointManager(tmp_path / "run", async_save=False)
+    mgr.emergency_save(5, state, "non-finite loss: nan")
+    marker = tmp_path / "run" / "EMERGENCY.txt"
+    assert marker.exists() and "nan" in marker.read_text()
+    assert mgr.latest_step() == 5
+    mgr.close()
+
+
+def test_resume_training_continues_identically(tmp_path):
+    """4 straight steps == 2 steps + save/restore + 2 steps, bit-exact.
+
+    Works because all step randomness is a pure function of (seed, step):
+    no RNG blobs needed in the checkpoint."""
+    step_fn = build_train_step(TINY, donate=False)
+
+    def data(i):
+        return fake_batch(TINY, seed=i)
+
+    straight = create_train_state(TINY, jax.random.key(0))
+    for i in range(4):
+        straight, _ = step_fn(straight, *data(i))
+
+    state = create_train_state(TINY, jax.random.key(0))
+    for i in range(2):
+        state, _ = step_fn(state, *data(i))
+    mgr = CheckpointManager(tmp_path / "run", async_save=False)
+    mgr.save(2, state)
+    mgr.wait()
+    resumed, _ = mgr.restore(create_train_state(TINY, jax.random.key(9)))
+    for i in range(2, 4):
+        resumed, _ = step_fn(resumed, *data(i))
+    trees_equal(resumed.student, straight.student)
+    trees_equal(resumed.teacher, straight.teacher)
+    np.testing.assert_array_equal(np.asarray(resumed.center), np.asarray(straight.center))
+    mgr.close()

@@ -1,0 +1,58 @@
+"""Pallas flash-attention kernel tests (interpret mode on CPU; the real
+kernel is exercised on TPU by bench.py and the verify drives)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dinox_tpu.ops.flash_attention import _flash_fwd, _xla_sdpa, flash_attention
+
+
+def make_qkv(b=2, h=3, n=37, d=16, dtype=jnp.float32, seed=0):
+    rng = np.random.default_rng(seed)
+    return tuple(jnp.asarray(rng.normal(size=(b, h, n, d)), dtype) for _ in range(3))
+
+
+def test_kernel_matches_xla_f32():
+    q, k, v = make_qkv()
+    got = np.asarray(_flash_fwd(q, k, v))
+    want = np.asarray(_xla_sdpa(q, k, v))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_kernel_matches_xla_bf16():
+    q, k, v = make_qkv(dtype=jnp.bfloat16)
+    got = np.asarray(_flash_fwd(q, k, v).astype(jnp.float32))
+    want = np.asarray(_xla_sdpa(q, k, v).astype(jnp.float32))
+    np.testing.assert_allclose(got, want, atol=2e-2)
+
+
+def test_softmax_rows_normalized():
+    """Output of attention over constant V must be exactly V (row-stochastic P)."""
+    q, k, _ = make_qkv(n=9, d=8)
+    v = jnp.ones_like(q)
+    out = np.asarray(_flash_fwd(q, k, v))
+    np.testing.assert_allclose(out, 1.0, atol=1e-5)
+
+
+def test_custom_vjp_matches_xla_grad():
+    q, k, v = make_qkv(n=17, d=8)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(_xla_sdpa(q, k, v) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_long_seq_falls_back_to_xla():
+    q, k, v = make_qkv(b=1, h=1, n=1500, d=8)
+    out = flash_attention(q, k, v)  # must not attempt a 1500^2 VMEM block
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(_xla_sdpa(q, k, v)), atol=1e-5
+    )
