@@ -34,6 +34,11 @@ class ModelConfig:
     # TPU-specific knobs (no reference analog / analog noted):
     attn_impl: str = "pallas"  # "pallas" | "xla"  (analog of --sdp-backend)
     dtype: str = "bfloat16"  # compute dtype; params always float32
+    # LoRA (first-class; reference wraps HF peft instead — zoo/peft.py)
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
+    lora_dropout: float = 0.0
+    lora_targets: tuple = ("qkv", "proj", "fc1", "fc2")
 
     def __post_init__(self) -> None:
         if self.dim % self.heads != 0:

@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from dinox_tpu.models.config import ModelConfig
+from dinox_tpu.models.lora import LoraDense
 
 Dtype = jnp.dtype
 
@@ -78,31 +79,38 @@ def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, impl: str = "xla") -> j
 class Attention(nn.Module):
     """Multi-head self-attention with explicit fused QKV projection.
 
-    Dense layers named ``qkv`` / ``proj`` for LoRA targeting and for the
-    torch key bijection (reference: zoo/arch.py:28-54).
+    Layers named ``qkv`` / ``proj`` for LoRA targeting and for the torch key
+    bijection (reference: zoo/arch.py:28-54). LoRA factors live inside the
+    LoraDense layers when enabled.
     """
 
     dim: int
     num_heads: int
     attn_impl: str = "xla"
     dtype: Dtype = jnp.float32
+    lora: tuple = ()  # (rank, alpha, dropout, targets) or empty
+
+    def _lora_for(self, name: str) -> dict:
+        if not self.lora or name not in self.lora[3]:
+            return {}
+        return {"rank": self.lora[0], "alpha": self.lora[1], "dropout": self.lora[2]}
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         B, N, C = x.shape
         hd = self.dim // self.num_heads
-        qkv = nn.Dense(
-            3 * self.dim, dtype=self.dtype, param_dtype=jnp.float32,
-            kernel_init=xavier_uniform, name="qkv",
-        )(x)
+        qkv = LoraDense(
+            3 * self.dim, dtype=self.dtype,
+            kernel_init=xavier_uniform, name="qkv", **self._lora_for("qkv"),
+        )(x, deterministic=not train)
         qkv = qkv.reshape(B, N, 3, self.num_heads, hd)
         q, k, v = (jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3))
         out = sdpa(q, k, v, impl=self.attn_impl)
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, C)
-        return nn.Dense(
-            self.dim, dtype=self.dtype, param_dtype=jnp.float32,
-            kernel_init=xavier_uniform, name="proj",
-        )(out)
+        return LoraDense(
+            self.dim, dtype=self.dtype,
+            kernel_init=xavier_uniform, name="proj", **self._lora_for("proj"),
+        )(out, deterministic=not train)
 
 
 class Mlp(nn.Module):
@@ -111,19 +119,25 @@ class Mlp(nn.Module):
     dim: int
     mlp_ratio: float = 4.0
     dtype: Dtype = jnp.float32
+    lora: tuple = ()
+
+    def _lora_for(self, name: str) -> dict:
+        if not self.lora or name not in self.lora[3]:
+            return {}
+        return {"rank": self.lora[0], "alpha": self.lora[1], "dropout": self.lora[2]}
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         hidden = int(self.dim * self.mlp_ratio)
-        x = nn.Dense(
-            hidden, dtype=self.dtype, param_dtype=jnp.float32,
-            kernel_init=xavier_uniform, name="fc1",
-        )(x)
+        x = LoraDense(
+            hidden, dtype=self.dtype,
+            kernel_init=xavier_uniform, name="fc1", **self._lora_for("fc1"),
+        )(x, deterministic=not train)
         x = _gelu(x)
-        return nn.Dense(
-            self.dim, dtype=self.dtype, param_dtype=jnp.float32,
-            kernel_init=xavier_uniform, name="fc2",
-        )(x)
+        return LoraDense(
+            self.dim, dtype=self.dtype,
+            kernel_init=xavier_uniform, name="fc2", **self._lora_for("fc2"),
+        )(x, deterministic=not train)
 
 
 class TransformerBlock(nn.Module):
@@ -134,15 +148,17 @@ class TransformerBlock(nn.Module):
     mlp_ratio: float = 4.0
     attn_impl: str = "xla"
     dtype: Dtype = jnp.float32
+    lora: tuple = ()
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         ln = partial(nn.LayerNorm, epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32)
         x = x + Attention(
-            self.dim, self.heads, attn_impl=self.attn_impl, dtype=self.dtype, name="attn"
-        )(ln(name="norm1")(x))
-        x = x + Mlp(self.dim, self.mlp_ratio, dtype=self.dtype, name="mlp")(
-            ln(name="norm2")(x)
+            self.dim, self.heads, attn_impl=self.attn_impl, dtype=self.dtype,
+            lora=self.lora, name="attn",
+        )(ln(name="norm1")(x), train=train)
+        x = x + Mlp(self.dim, self.mlp_ratio, dtype=self.dtype, lora=self.lora, name="mlp")(
+            ln(name="norm2")(x), train=train
         )
         return x
 
@@ -231,14 +247,19 @@ class PatchViT(nn.Module):
                 axis=1,
             )
 
+        lora = (
+            (cfg.lora_rank, cfg.lora_alpha, cfg.lora_dropout, tuple(cfg.lora_targets))
+            if cfg.lora_rank > 0
+            else ()
+        )
         block_cls = TransformerBlock
         if cfg.use_grad_checkpoint and train:
-            block_cls = nn.remat(TransformerBlock, prevent_cse=False)
+            block_cls = nn.remat(TransformerBlock, prevent_cse=False, static_argnums=(2,))
         for i in range(cfg.depth):
             x = block_cls(
                 cfg.dim, cfg.heads, cfg.mlp_ratio,
-                attn_impl=cfg.attn_impl, dtype=dtype, name=f"blocks_{i}",
-            )(x)
+                attn_impl=cfg.attn_impl, dtype=dtype, lora=lora, name=f"blocks_{i}",
+            )(x, train)
 
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name="norm")(
             x.astype(jnp.float32)

@@ -1,0 +1,268 @@
+#!/usr/bin/env python
+"""DINO-X TPU pretraining CLI — the analog of the reference's production
+trainer (scripts/phase5_big_run.py), driving the jitted train step over the
+host loader with checkpoint/resume, anomaly detection and metric sinks.
+
+Examples:
+    # Medical pretrain from an index CSV
+    python scripts/pretrain.py --config vit-small --scale-aware \\
+        --index-csv data/processed/_index/index.csv --batch-size 64 \\
+        --max-steps 5000 --run-dir data/runs/mvp
+
+    # Synthetic smoke run (no data needed)
+    python scripts/pretrain.py --config vit-tiny --synthetic --max-steps 20 \\
+        --batch-size 8 --run-dir /tmp/smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default="vit-small",
+                   choices=["vit-tiny", "vit-small", "vit-large", "vit-giant"])
+    p.add_argument("--index-csv", type=Path, default=None)
+    p.add_argument("--split-manifest", type=Path, default=None)
+    p.add_argument("--run-dir", type=Path, required=True)
+    p.add_argument("--resume", default=None,
+                   help="'auto' (latest run under run-dir's parent) or a run dir path")
+    # model
+    p.add_argument("--scale-aware", action="store_true")
+    p.add_argument("--img-size", type=int, default=224)
+    p.add_argument("--attn-impl", default="pallas", choices=["pallas", "xla"])
+    p.add_argument("--grad-checkpoint", action="store_true")
+    # training
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--accumulation-steps", type=int, default=1)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--min-lr", type=float, default=1e-6)
+    p.add_argument("--warmup-steps", type=int, default=2500)
+    p.add_argument("--weight-decay", type=float, default=0.04)
+    p.add_argument("--max-steps", type=int, default=5000)
+    p.add_argument("--ema", type=float, default=0.996)
+    p.add_argument("--teacher-temp", type=float, default=0.04)
+    p.add_argument("--student-temp", type=float, default=0.1)
+    p.add_argument("--center-momentum", type=float, default=0.9)
+    p.add_argument("--loss-type", default="dino", choices=["dino", "simclr", "mae"])
+    p.add_argument("--gram-weight", type=float, default=1.0)
+    p.add_argument("--koleo-weight", type=float, default=0.0)
+    p.add_argument("--crop-scale-min", type=float, default=0.3)
+    p.add_argument("--crop-scale-max", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0)
+    # data
+    p.add_argument("--z-stride", type=int, default=1)
+    p.add_argument("--diverse-batches", action="store_true")
+    p.add_argument("--num-workers", type=int, default=8)
+    p.add_argument("--canvas", type=int, default=512)
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on synthetic on-the-fly batches (smoke/bench)")
+    # ops
+    p.add_argument("--ckpt-every", type=int, default=100)
+    p.add_argument("--ckpt-keep-last", type=int, default=5)
+    p.add_argument("--log-json", action="store_true")
+    p.add_argument("--no-tensorboard", action="store_true")
+    p.add_argument("--model-parallel", type=int, default=1)
+    return p.parse_args(argv)
+
+
+class SyntheticBatches:
+    """Deterministic synthetic uint16 batches (the dry-run data path)."""
+
+    def __init__(self, batch_size, accum, canvas, seed=0):
+        self.batch_size, self.accum, self.canvas, self.seed = batch_size, accum, canvas, seed
+
+    def __iter__(self):
+        from dinox_tpu.data.pipeline import Batch
+
+        i = 0
+        while True:
+            rng = np.random.default_rng((self.seed, i))
+            yield Batch(
+                pixels=rng.integers(
+                    25000, 41000,
+                    (self.accum, self.batch_size, self.canvas, self.canvas, 3),
+                    dtype=np.uint16,
+                ),
+                spacing=rng.uniform(0.4, 3.0, (self.accum, self.batch_size, 3)).astype(np.float32),
+                indices=np.arange(self.batch_size, dtype=np.int64),
+            )
+            i += 1
+
+
+class AccumBatches:
+    """Stack accumulation_steps micro-batches from the host loader into the
+    (A, B, ...) layout the jitted step consumes."""
+
+    def __init__(self, loader, accum):
+        self.loader, self.accum = loader, accum
+
+    def __iter__(self):
+        from dinox_tpu.data.pipeline import Batch
+
+        it = iter(self.loader)
+        while True:
+            micro = [next(it) for _ in range(self.accum)]
+            yield Batch(
+                pixels=np.stack([m.pixels for m in micro]),
+                spacing=np.stack([m.spacing for m in micro]),
+                indices=micro[0].indices,
+            )
+
+
+def data_manifest_hash(index_csv: Path) -> str:
+    return hashlib.sha256(index_csv.read_bytes()).hexdigest()[:16]
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+
+    import jax
+
+    from dinox_tpu.data.index import (
+        exclude_val_series,
+        load_index_rows,
+        load_split_manifest,
+        shard_rows,
+        z_stride_subsample,
+    )
+    from dinox_tpu.data.pipeline import TrainLoader
+    from dinox_tpu.models.config import MODEL_CONFIGS
+    from dinox_tpu.parallel.mesh import make_mesh, replicated
+    from dinox_tpu.train.checkpoint import CheckpointManager, find_latest_run
+    from dinox_tpu.train.state import TrainConfig, create_train_state
+    from dinox_tpu.train.step import build_train_step
+    from dinox_tpu.train.trainer import config_dict, train
+    from dinox_tpu.zoo.lineage import get_git_commit
+
+    mcfg = MODEL_CONFIGS[args.config].replace(
+        scale_aware=args.scale_aware,
+        attn_impl=args.attn_impl,
+        use_grad_checkpoint=args.grad_checkpoint,
+    )
+    cfg = TrainConfig(
+        model=mcfg,
+        img_size=args.img_size,
+        batch_size=args.batch_size,
+        accumulation_steps=args.accumulation_steps,
+        lr=args.lr,
+        min_lr=args.min_lr,
+        warmup_steps=args.warmup_steps,
+        weight_decay=args.weight_decay,
+        max_steps=args.max_steps,
+        ema=args.ema,
+        teacher_temp=args.teacher_temp,
+        student_temp=args.student_temp,
+        center_momentum=args.center_momentum,
+        loss_type=args.loss_type,
+        gram_weight=args.gram_weight,
+        koleo_weight=args.koleo_weight,
+        crop_scale_min=args.crop_scale_min,
+        crop_scale_max=args.crop_scale_max,
+        train_seed=args.seed,
+    )
+
+    print(f"devices={jax.devices()} backend={jax.default_backend()}", flush=True)
+    print(f"config={args.config} params~{mcfg.params_millions:.1f}M "
+          f"eff_batch={cfg.effective_batch_size} scale_aware={mcfg.scale_aware}", flush=True)
+    provenance = {
+        "git_commit": get_git_commit(Path(__file__).parent.parent),
+        "data_manifest_hash": (
+            data_manifest_hash(args.index_csv) if args.index_csv else "synthetic"
+        ),
+        "argv": sys.argv[1:],
+    }
+
+    # -- data ---------------------------------------------------------------
+    loader = None
+    if args.synthetic:
+        batches = SyntheticBatches(
+            args.batch_size, args.accumulation_steps, args.canvas, args.seed
+        )
+        loader_position = None
+    else:
+        if args.index_csv is None:
+            print("error: --index-csv required unless --synthetic", file=sys.stderr)
+            return 2
+        rows = load_index_rows(args.index_csv, require_spacing=args.scale_aware)
+        print(f"loaded_rows={len(rows)}", flush=True)
+        if args.split_manifest and args.split_manifest.exists():
+            before = len(rows)
+            rows = exclude_val_series(rows, load_split_manifest(args.split_manifest))
+            print(f"excluded_val_rows={before - len(rows)}", flush=True)
+        rows = z_stride_subsample(rows, args.z_stride)
+        rows = shard_rows(rows, jax.process_index(), jax.process_count())
+        loader = TrainLoader(
+            rows,
+            args.batch_size,
+            seed=args.seed,
+            canvas=args.canvas,
+            diverse=args.diverse_batches,
+            num_workers=args.num_workers,
+        )
+        batches = AccumBatches(loader, args.accumulation_steps)
+        loader_position = lambda: loader.position  # noqa: E731
+
+    # -- state / resume -----------------------------------------------------
+    mesh = make_mesh(model_parallel=args.model_parallel)
+    state = create_train_state(cfg, jax.random.key(args.seed))
+    state = jax.device_put(state, replicated(mesh))
+    start_step = 0
+    resume_dir = None
+    if args.resume == "auto":
+        resume_dir = find_latest_run(args.run_dir.parent)
+    elif args.resume:
+        resume_dir = Path(args.resume)
+    if resume_dir is not None and (resume_dir / "ckpt").exists():
+        mgr = CheckpointManager(resume_dir, keep_last=args.ckpt_keep_last)
+        state, meta = mgr.restore(state)
+        mgr.close()
+        start_step = int(meta["step"])
+        print(f"resumed from {resume_dir} at step {start_step}", flush=True)
+        if loader is not None:
+            loader.epoch = meta.get("loader_epoch", 0)
+            loader.batch_in_epoch = meta.get("loader_batch", 0)
+
+    step_fn = build_train_step(cfg, mesh=mesh)
+
+    args.run_dir.mkdir(parents=True, exist_ok=True)
+    (args.run_dir / "provenance.json").write_text(json.dumps(provenance, indent=2))
+
+    t0 = time.monotonic()
+    state = train(
+        cfg,
+        state,
+        step_fn,
+        batches,
+        run_dir=args.run_dir,
+        max_steps=args.max_steps,
+        start_step=start_step,
+        ckpt_every=args.ckpt_every,
+        ckpt_keep_last=args.ckpt_keep_last,
+        log_jsonl=args.log_json,
+        tensorboard=not args.no_tensorboard,
+        loader_position=loader_position,
+    )
+    dt = time.monotonic() - t0
+    steps_done = int(np.asarray(state.step)) - start_step
+    if steps_done > 0 and dt > 0:
+        print(f"done steps={steps_done} wall_s={dt:.1f} "
+              f"steps_per_s={steps_done / dt:.3f} "
+              f"samples_per_s={steps_done * cfg.effective_batch_size / dt:.1f}", flush=True)
+    if loader is not None:
+        loader.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
