@@ -29,39 +29,54 @@ from jax.experimental.pallas import tpu as pltpu
 MAX_SINGLE_BLOCK_SEQ = 1024
 
 
-def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    """One (batch, head) tile: o = softmax(q k^T * scale) v, f32 accumulate."""
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    s = jax.lax.dot_general(
-        q, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = (p / denom).astype(v.dtype)
-    o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, group: int):
+    """One grid step = `group` (batch*head) pairs, looped in-register.
+
+    Grouping amortizes per-grid-step pipeline overhead: with 1 pair/step the
+    kernel is launch-bound (~1.5k tiny matmuls per ViT-S layer stack); with
+    G=8 the DMA of the next group overlaps a longer compute span.
+    """
+
+    def one(g, _):
+        q = q_ref[g]
+        k = k_ref[g]
+        v = v_ref[g]
+        s = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        p = (p / denom).astype(v.dtype)
+        o_ref[g] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+        return _
+
+    jax.lax.fori_loop(0, group, one, None, unroll=True)
 
 
 def _flash_fwd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """q, k, v: (B, H, N, D) -> (B, H, N, D)."""
     b, h, n, d = q.shape
+    bh = b * h
+    group = 1
+    for g in (8, 4, 2):
+        if bh % g == 0:
+            group = g
+            break
     scale = 1.0 / (d ** 0.5)
-    kernel = functools.partial(_mha_kernel, scale=scale)
-    grid = (b * h,)
-    qf = q.reshape(b * h, n, d)
-    kf = k.reshape(b * h, n, d)
-    vf = v.reshape(b * h, n, d)
-    spec = pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    kernel = functools.partial(_mha_kernel, scale=scale, group=group)
+    qf = q.reshape(bh, n, d)
+    kf = k.reshape(bh, n, d)
+    vf = v.reshape(bh, n, d)
+    spec = pl.BlockSpec((group, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(bh // group,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * n * n * d,
             bytes_accessed=4 * b * h * n * d * q.dtype.itemsize,
@@ -89,14 +104,83 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
     return _flash_fwd(q, k, v)
 
 
+def _mha_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                    *, scale: float, group: int):
+    """Grouped flash-attention backward: recompute P in VMEM, then
+    dV = P^T dO; dP = dO V^T; dS = P*(dP - rowsum(dP*P)); dQ = dS K * s;
+    dK = dS^T Q * s. Five matmuls per pair, logits never touch HBM."""
+
+    def one(g, _):
+        q = q_ref[g]
+        k = k_ref[g]
+        v = v_ref[g]
+        do = do_ref[g]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        pb = p.astype(v.dtype)
+        dv_ref[g] = jax.lax.dot_general(
+            pb, do, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dv_ref.dtype)
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dsb = (ds * scale).astype(q.dtype)
+        dq_ref[g] = jnp.dot(dsb, k, preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+        dk_ref[g] = jax.lax.dot_general(
+            dsb, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dk_ref.dtype)
+        return _
+
+    jax.lax.fori_loop(0, group, one, None, unroll=True)
+
+
+def _flash_bwd(q, k, v, do):
+    b, h, n, d = q.shape
+    bh = b * h
+    group = 1
+    for g in (8, 4, 2):
+        if bh % g == 0:
+            group = g
+            break
+    kernel = functools.partial(_mha_bwd_kernel, scale=1.0 / (d ** 0.5), group=group)
+    spec = pl.BlockSpec((group, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    shp = jax.ShapeDtypeStruct((bh, n, d), q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(bh // group,),
+        in_specs=[spec] * 4,
+        out_specs=(spec, spec, spec),
+        out_shape=(shp, shp, shp),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * h * n * n * d,
+            bytes_accessed=7 * b * h * n * d * q.dtype.itemsize,
+            transcendentals=b * h * n * n,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(q.reshape(bh, n, d), k.reshape(bh, n, d), v.reshape(bh, n, d), do.reshape(bh, n, d))
+    shape = (b, h, n, d)
+    return dq.reshape(shape), dk.reshape(shape), dv.reshape(shape)
+
+
 def _fwd_rule(q, k, v):
     return flash_attention(q, k, v), (q, k, v)
 
 
 def _bwd_rule(res, g):
     q, k, v = res
-    _, vjp = jax.vjp(_xla_sdpa, q, k, v)
-    return vjp(g)
+    if q.shape[2] > MAX_SINGLE_BLOCK_SEQ:
+        _, vjp = jax.vjp(_xla_sdpa, q, k, v)
+        return vjp(g)
+    return _flash_bwd(q, k, v, g)
 
 
 flash_attention.defvjp(_fwd_rule, _bwd_rule)

@@ -1,0 +1,24 @@
+"""Backend selection helper.
+
+The session's sitecustomize registers the TPU ("axon") plugin at interpreter
+start and forces it as the default platform, which silently overrides a
+``JAX_PLATFORMS=cpu`` environment variable. Every CLI entry point calls
+:func:`respect_jax_platforms_env` first so the conventional env-var contract
+works (needed by the integration canary's CPU subprocess runs and by tests).
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def respect_jax_platforms_env() -> None:
+    plat = os.environ.get("JAX_PLATFORMS")
+    if not plat:
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", plat)
+    except Exception:
+        pass  # backends already initialized; leave as-is

@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Offline throughput grid search (analog of reference
+scripts/tune_throughput.py): sweep batch size x loader workers over the REAL
+train step, segmenting each optimizer update into data-wait vs device time,
+classifying io_bound/compute_bound, recording OOM — results.csv/json +
+summary with the best stable configuration.
+
+    python scripts/tune_throughput.py --synthetic --batch-sizes 64 128 256 \\
+        --out-dir /tmp/tune
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv as csv_mod
+import itertools
+import json
+import sys
+import time
+import traceback
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from dinox_tpu.utils.platform import respect_jax_platforms_env
+
+respect_jax_platforms_env()
+
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default="vit-small")
+    p.add_argument("--index-csv", type=Path, default=None)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--scale-aware", action="store_true", default=True)
+    p.add_argument("--batch-sizes", type=int, nargs="+", default=[64, 128, 256])
+    p.add_argument("--num-workers", type=int, nargs="+", default=[8])
+    p.add_argument("--steps", type=int, default=12)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--canvas", type=int, default=512)
+    p.add_argument("--attn-impl", default="pallas")
+    p.add_argument("--out-dir", type=Path, default=Path("throughput_tuning"))
+    return p.parse_args(argv)
+
+
+def measure(args, batch_size: int, num_workers: int) -> dict:
+    import jax
+
+    from dinox_tpu.models.config import MODEL_CONFIGS
+    from dinox_tpu.train.state import TrainConfig, create_train_state
+    from dinox_tpu.train.step import build_train_step
+
+    cfg = TrainConfig(
+        model=MODEL_CONFIGS[args.config].replace(
+            scale_aware=args.scale_aware, attn_impl=args.attn_impl
+        ),
+        batch_size=batch_size,
+        koleo_weight=0.1,
+        warmup_steps=100,
+        max_steps=5000,
+    )
+    rec: dict = {"batch_size": batch_size, "num_workers": num_workers, "status": "ok"}
+    loader = None
+    try:
+        if args.synthetic or args.index_csv is None:
+            rng = np.random.default_rng(0)
+
+            def batches():
+                while True:
+                    yield (
+                        rng.integers(25000, 41000,
+                                     (1, batch_size, args.canvas, args.canvas, 3),
+                                     dtype=np.uint16),
+                        rng.uniform(0.4, 3.0, (1, batch_size, 3)).astype(np.float32),
+                    )
+
+            it = batches()
+        else:
+            from dinox_tpu.data.index import load_index_rows
+            from dinox_tpu.data.pipeline import TrainLoader
+
+            rows = load_index_rows(args.index_csv)
+            loader = TrainLoader(rows, batch_size, seed=0, canvas=args.canvas,
+                                 num_workers=num_workers)
+
+            def batches():
+                for b in loader:
+                    yield b.pixels[None], b.spacing[None]
+
+            it = batches()
+
+        state = create_train_state(cfg, jax.random.key(0))
+        step_fn = build_train_step(cfg, donate=True)
+        t_data, t_step = [], []
+        for i in range(args.warmup + args.steps):
+            t0 = time.perf_counter()
+            pixels, spacing = next(it)
+            t1 = time.perf_counter()
+            state, m = step_fn(state, pixels, spacing)
+            jax.block_until_ready(m["loss"])
+            t2 = time.perf_counter()
+            if i >= args.warmup:
+                t_data.append(t1 - t0)
+                t_step.append(t2 - t1)
+        data_s, step_s = float(np.mean(t_data)), float(np.mean(t_step))
+        total = data_s + step_s
+        rec.update(
+            data_wait_s=round(data_s, 4),
+            device_step_s=round(step_s, 4),
+            step_total_s=round(total, 4),
+            img_per_s=round(batch_size / total, 1),
+            bound="io_bound" if data_s > 0.2 * total else "compute_bound",
+        )
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            rec["peak_bytes_in_use"] = stats.get("peak_bytes_in_use")
+        except Exception:
+            pass
+    except Exception as e:  # noqa: BLE001 — classify OOM vs other failures
+        msg = str(e)
+        rec["status"] = "oom" if "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg else "error"
+        rec["error"] = msg.splitlines()[0][:200] if msg else type(e).__name__
+        traceback.print_exc()
+    finally:
+        if loader is not None:
+            loader.close()
+    return rec
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    args.out_dir.mkdir(parents=True, exist_ok=True)
+    results = []
+    for bs, nw in itertools.product(args.batch_sizes, args.num_workers):
+        print(f"measuring batch={bs} workers={nw} ...", flush=True)
+        rec = measure(args, bs, nw)
+        print(f"  -> {rec}", flush=True)
+        results.append(rec)
+
+    (args.out_dir / "results.json").write_text(json.dumps(results, indent=2))
+    keys = sorted({k for r in results for k in r})
+    with open(args.out_dir / "results.csv", "w", newline="") as f:
+        w = csv_mod.DictWriter(f, fieldnames=keys)
+        w.writeheader()
+        w.writerows(results)
+
+    ok = [r for r in results if r["status"] == "ok"]
+    summary = {
+        "best_img_per_s": max((r["img_per_s"] for r in ok), default=0.0),
+        "best_config": max(ok, key=lambda r: r["img_per_s"], default=None),
+        "max_stable_batch": max((r["batch_size"] for r in ok), default=0),
+        "oom_batches": sorted({r["batch_size"] for r in results if r["status"] == "oom"}),
+    }
+    (args.out_dir / "summary.json").write_text(json.dumps(summary, indent=2))
+    print(json.dumps(summary, indent=2), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
