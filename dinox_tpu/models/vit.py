@@ -199,7 +199,65 @@ class PatchViT(nn.Module):
 
     cfg: ModelConfig
 
-    @nn.compact
+    def setup(self) -> None:
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        self._dtype = dtype
+        # Strided conv patch embedding == unfold+matmul; XLA maps it to the MXU.
+        self.patch_embed = nn.Conv(
+            cfg.dim,
+            kernel_size=(cfg.patch, cfg.patch),
+            strides=(cfg.patch, cfg.patch),
+            padding="VALID",
+            dtype=dtype,
+            param_dtype=jnp.float32,
+            kernel_init=trunc02,
+        )
+        self.cls_token = self.param("cls_token", trunc02, (1, 1, cfg.dim), jnp.float32)
+        self.pos_embed = self.param(
+            "pos_embed", trunc01, (1, 1 + cfg.n_patches, cfg.dim), jnp.float32
+        )
+        if cfg.num_registers > 0:
+            self.registers = self.param(
+                "registers", trunc02, (1, cfg.num_registers, cfg.dim), jnp.float32
+            )
+        if cfg.scale_aware:
+            self.scale_embed = ScaleEmbedding(cfg.dim, dtype=dtype)
+        lora = (
+            (cfg.lora_rank, cfg.lora_alpha, cfg.lora_dropout, tuple(cfg.lora_targets))
+            if cfg.lora_rank > 0
+            else ()
+        )
+        self.blocks = [
+            TransformerBlock(
+                cfg.dim, cfg.heads, cfg.mlp_ratio,
+                attn_impl=cfg.attn_impl, dtype=dtype, lora=lora,
+            )
+            for _ in range(cfg.depth)
+        ]
+        self.norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32)
+
+    # -- reusable sub-ops (shared with the MAE wrapper) ---------------------
+
+    def patch_tokens(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(B, H, W, 3) -> (B, n_patches, dim); row-major == torch flatten(2)."""
+        x = self.patch_embed(x.astype(self._dtype))
+        return x.reshape(x.shape[0], -1, self.cfg.dim)
+
+    def run_blocks(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.cfg.use_grad_checkpoint and train:
+            for blk in self.blocks:
+                x = nn.remat(lambda m, y, t: m(y, t), prevent_cse=False, static_argnums=(2,))(
+                    blk, x, train
+                )
+            return x
+        for blk in self.blocks:
+            x = blk(x, train)
+        return x
+
+    def run_final_norm(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.norm(x.astype(jnp.float32))
+
     def __call__(
         self,
         x: jnp.ndarray,
@@ -208,63 +266,22 @@ class PatchViT(nn.Module):
         train: bool = False,
     ) -> jnp.ndarray:
         cfg = self.cfg
-        dtype = jnp.dtype(cfg.dtype)
+        dtype = self._dtype
         B = x.shape[0]
-
-        # Strided conv patch embedding == unfold+matmul; XLA maps it to the MXU.
-        x = nn.Conv(
-            cfg.dim,
-            kernel_size=(cfg.patch, cfg.patch),
-            strides=(cfg.patch, cfg.patch),
-            padding="VALID",
-            dtype=dtype,
-            param_dtype=jnp.float32,
-            kernel_init=trunc02,
-            name="patch_embed",
-        )(x.astype(dtype))
-        x = x.reshape(B, -1, cfg.dim)  # (B, n_patches, dim), row-major == torch flatten(2)
-
-        cls_token = self.param("cls_token", trunc02, (1, 1, cfg.dim), jnp.float32)
-        pos_embed = self.param("pos_embed", trunc01, (1, 1 + cfg.n_patches, cfg.dim), jnp.float32)
-
-        x = jnp.concatenate([jnp.broadcast_to(cls_token.astype(dtype), (B, 1, cfg.dim)), x], axis=1)
-        x = x + pos_embed.astype(dtype)
-
+        x = self.patch_tokens(x)
+        x = jnp.concatenate(
+            [jnp.broadcast_to(self.cls_token.astype(dtype), (B, 1, cfg.dim)), x], axis=1
+        )
+        x = x + self.pos_embed.astype(dtype)
         if cfg.scale_aware and spacing is not None:
-            x = x + ScaleEmbedding(cfg.dim, dtype=dtype, name="scale_embed")(spacing)
-        elif cfg.scale_aware:
-            # Materialize params so the tree is stable regardless of inputs.
-            ScaleEmbedding(cfg.dim, dtype=dtype, name="scale_embed")(
-                jnp.ones((B, 3), dtype)
-            )
-
+            x = x + self.scale_embed(spacing)
         if cfg.num_registers > 0:
-            registers = self.param(
-                "registers", trunc02, (1, cfg.num_registers, cfg.dim), jnp.float32
-            )
             x = jnp.concatenate(
-                [x, jnp.broadcast_to(registers.astype(dtype), (B, cfg.num_registers, cfg.dim))],
+                [x, jnp.broadcast_to(self.registers.astype(dtype), (B, cfg.num_registers, cfg.dim))],
                 axis=1,
             )
-
-        lora = (
-            (cfg.lora_rank, cfg.lora_alpha, cfg.lora_dropout, tuple(cfg.lora_targets))
-            if cfg.lora_rank > 0
-            else ()
-        )
-        block_cls = TransformerBlock
-        if cfg.use_grad_checkpoint and train:
-            block_cls = nn.remat(TransformerBlock, prevent_cse=False, static_argnums=(2,))
-        for i in range(cfg.depth):
-            x = block_cls(
-                cfg.dim, cfg.heads, cfg.mlp_ratio,
-                attn_impl=cfg.attn_impl, dtype=dtype, lora=lora, name=f"blocks_{i}",
-            )(x, train)
-
-        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name="norm")(
-            x.astype(jnp.float32)
-        )
-        return x
+        x = self.run_blocks(x, train=train)
+        return self.run_final_norm(x)
 
 
 class DinoHead(nn.Module):

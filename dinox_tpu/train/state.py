@@ -98,9 +98,18 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 
 def create_train_state(cfg: TrainConfig, rng: jax.Array) -> TrainState:
     """Initialize student, copy to teacher (reference: teacher starts from
-    student weights, requires_grad False — phase5_big_run.py:1594-1619)."""
+    student weights, requires_grad False — phase5_big_run.py:1594-1619).
+
+    For ``loss_type == "mae"`` the "student" tree is the MaeModel
+    ({encoder, decoder}); the teacher copy is unused but kept so the state
+    shape is uniform across objectives."""
     mcfg = cfg.model.replace(img_size=cfg.img_size)
-    student = init_model(mcfg, rng)
+    if cfg.loss_type == "mae":
+        from dinox_tpu.models.mae import init_mae
+
+        student = init_mae(mcfg, rng)
+    else:
+        student = init_model(mcfg, rng)
     teacher = jax.tree_util.tree_map(jnp.copy, student)
     tx = make_optimizer(cfg)
     return TrainState(

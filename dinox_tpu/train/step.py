@@ -40,10 +40,27 @@ def _micro_loss(
     center,
     batch,
     spacing,
+    key,
     cfg: TrainConfig,
-    model: DinoStudentTeacher,
+    model,
 ):
     """Loss over one already-augmented (2B, S, S, 3) micro-batch."""
+    zero = jnp.zeros((), jnp.float32)
+    metrics: dict[str, jnp.ndarray] = {}
+
+    if cfg.loss_type == "mae":
+        from dinox_tpu.models.mae import MaeModel, mae_loss
+
+        pred, mask = model.apply({"params": student_params}, batch, key, train=True)
+        loss = mae_loss(pred, batch, mask, cfg.model.patch)
+        metrics.update(
+            loss_mae=loss, loss_dino=zero, loss_gram=zero, loss_koleo=zero,
+            loss_simclr=zero, teacher_entropy=zero, student_entropy=zero,
+            embed_std=jnp.std(pred.astype(jnp.float32)),
+        )
+        metrics["loss"] = loss
+        return loss, (center, metrics)
+
     sp2 = jnp.concatenate([spacing, spacing], axis=0) if cfg.model.scale_aware else None
 
     s_out, s_feats = model.apply(
@@ -51,15 +68,12 @@ def _micro_loss(
         method=DinoStudentTeacher.forward_features,
     )
 
-    zero = jnp.zeros((), jnp.float32)
-    metrics: dict[str, jnp.ndarray] = {}
-
     if cfg.loss_type == "simclr":
         b = s_out.shape[0] // 2
         loss = simclr_loss(s_out[:b], s_out[b:], cfg.student_temp)
         metrics.update(
             loss_simclr=loss, loss_dino=zero, loss_gram=zero, loss_koleo=zero,
-            teacher_entropy=zero, student_entropy=zero,
+            loss_mae=zero, teacher_entropy=zero, student_entropy=zero,
         )
         new_center = center
     else:
@@ -81,6 +95,7 @@ def _micro_loss(
         new_center = d.new_center
         metrics.update(
             loss_dino=d.loss, loss_gram=g, loss_koleo=k, loss_simclr=zero,
+            loss_mae=zero,
             teacher_entropy=d.teacher_entropy, student_entropy=d.student_entropy,
         )
 
@@ -107,7 +122,12 @@ def build_train_step(
     medical HU pipeline; the CIFAR baseline passes its RGB TwoCrops analog.
     """
     mcfg = cfg.model.replace(img_size=cfg.img_size)
-    model = DinoStudentTeacher(mcfg)
+    if cfg.loss_type == "mae":
+        from dinox_tpu.models.mae import MaeModel
+
+        model = MaeModel(mcfg, mask_ratio=cfg.mae_mask_ratio)
+    else:
+        model = DinoStudentTeacher(mcfg)
     tx = make_optimizer(cfg)
     aug_cfg = cfg.aug
     base_key = jax.random.key(cfg.train_seed)
@@ -135,7 +155,8 @@ def build_train_step(
                 views.reshape((-1,) + views.shape[2:]), P(DATA_AXIS)
             )
             (_, (new_center, metrics)), grads = grad_fn(
-                state.student, state.teacher, center, batch, sp, cfg, model
+                state.student, state.teacher, center, batch, sp,
+                jax.random.fold_in(k, 0x3AE), cfg, model
             )
             grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
             return (grads_acc, new_center), metrics

@@ -80,6 +80,7 @@ def train(
     samples_per_step = cfg.effective_batch_size
     t_last, n_since = time.monotonic(), 0
     step = start_step
+    last_saved = -1
     try:
         while step < max_steps and not stop.stop:
             batch = next(it)
@@ -112,12 +113,15 @@ def train(
                     step, state, config=config_dict(cfg),
                     loader_position=loader_position() if loader_position else None,
                 )
+                last_saved = step
     finally:
-        ckpt.save(
-            step, state, config=config_dict(cfg),
-            loader_position=loader_position() if loader_position else None,
-            force=True,
-        )
+        # Final checkpoint — unless the periodic save already covered this step.
+        if last_saved != step:
+            ckpt.save(
+                step, state, config=config_dict(cfg),
+                loader_position=loader_position() if loader_position else None,
+                force=True,
+            )
         ckpt.close()
         logger.close()
         stop.restore()

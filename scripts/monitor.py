@@ -79,7 +79,7 @@ def snapshot(args) -> dict:
     # attention-energy heatmap: per-patch token L2 norms of the first sample
     side = model.img_size // model.patch
     energy = np.linalg.norm(patches[0], axis=-1).reshape(side, side)
-    energy = (energy - energy.min()) / max(energy.ptp(), 1e-9)
+    energy = (energy - energy.min()) / max(float(np.ptp(energy)), 1e-9)
     from PIL import Image
 
     img = Image.fromarray((energy * 255).astype(np.uint8)).resize((224, 224), Image.NEAREST)
