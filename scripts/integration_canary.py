@@ -39,11 +39,14 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def run_trainer(run_dir: Path, index_csv: Path, steps: int, seed: int,
-                resume: str | None = None, extra: list[str] | None = None) -> list[dict]:
+                resume: str | None = None, extra: list[str] | None = None,
+                horizon: int | None = None) -> list[dict]:
     cmd = [
         sys.executable, str(REPO / "scripts" / "pretrain.py"),
         "--config", "vit-tiny", "--index-csv", str(index_csv),
-        "--run-dir", str(run_dir), "--max-steps", str(steps),
+        "--run-dir", str(run_dir),
+        "--max-steps", str(horizon if horizon is not None else steps),
+        "--stop-after", str(steps),
         "--batch-size", "4", "--img-size", "56", "--canvas", "64",
         "--warmup-steps", "2", "--lr", "5e-4", "--seed", str(seed),
         "--scale-aware", "--log-json", "--no-tensorboard",
@@ -81,13 +84,18 @@ def gate_determinism(work: Path, index_csv: Path, steps: int, tol: float) -> dic
 
 def gate_resume(work: Path, index_csv: Path, steps: int, tol: float) -> dict:
     straight = run_trainer(work / "resume_straight", index_csv, 2 * steps, seed=11)
-    part1 = run_trainer(work / "resume_split", index_csv, steps, seed=11)
+    # part 1 stops early but keeps the FULL schedule horizon, so the cosine
+    # decay matches the straight run; part 2 resumes to the end.
+    run_trainer(work / "resume_split", index_csv, steps, seed=11, horizon=2 * steps)
     part2 = run_trainer(
         work / "resume_split", index_csv, 2 * steps, seed=11,
         resume=str(work / "resume_split"),
     )
+    # metrics.jsonl is append-mode, so after the resumed run the split dir's
+    # file holds both halves; key by optimizer step (last write wins).
+    by_step = {int(m["step"]): m["loss"] for m in part2}
     ls = np.asarray([m["loss"] for m in straight])
-    lr = np.asarray([m["loss"] for m in part1] + [m["loss"] for m in part2])
+    lr = np.asarray([by_step[s] for s in sorted(by_step)])
     n = min(len(ls), len(lr))
     rel = np.abs(ls[:n] - lr[:n]) / np.maximum(np.abs(ls[:n]), 1e-9)
     out = {

@@ -54,7 +54,11 @@ def parse_args(argv=None):
     p.add_argument("--min-lr", type=float, default=1e-6)
     p.add_argument("--warmup-steps", type=int, default=2500)
     p.add_argument("--weight-decay", type=float, default=0.04)
-    p.add_argument("--max-steps", type=int, default=5000)
+    p.add_argument("--max-steps", type=int, default=5000,
+                   help="schedule horizon AND default stop point")
+    p.add_argument("--stop-after", type=int, default=None,
+                   help="stop at this optimizer step while keeping the "
+                        "--max-steps schedule horizon (for split/resumed runs)")
     p.add_argument("--ema", type=float, default=0.996)
     p.add_argument("--teacher-temp", type=float, default=0.04)
     p.add_argument("--student-temp", type=float, default=0.1)
@@ -244,13 +248,14 @@ def main(argv=None) -> int:
     (args.run_dir / "provenance.json").write_text(json.dumps(provenance, indent=2))
 
     t0 = time.monotonic()
+    stop_at = min(args.stop_after or args.max_steps, args.max_steps)
     state = train(
         cfg,
         state,
         step_fn,
         batches,
         run_dir=args.run_dir,
-        max_steps=args.max_steps,
+        max_steps=stop_at,
         start_step=start_step,
         ckpt_every=args.ckpt_every,
         ckpt_keep_last=args.ckpt_keep_last,

@@ -1,0 +1,95 @@
+"""Preprocessing CLI smoke tests (subprocess-level, synthetic substrates)."""
+
+import csv
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+PRE = REPO / "scripts" / "preprocessing"
+
+
+def run(script, *args):
+    proc = subprocess.run(
+        [sys.executable, str(script), *map(str, args)],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    assert proc.returncode == 0, f"{script.name} failed:\n{proc.stderr[-2000:]}"
+    return proc.stdout
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    out = tmp_path_factory.mktemp("synth")
+    run(PRE / "make_synthetic_data.py", "--out", out, "--series-per-dataset", "2",
+        "--slices-per-series", "6", "--size", "48")
+    return out
+
+
+def test_validate_samples(synth, tmp_path):
+    out = run(PRE / "validate_samples.py", "--index", synth / "index.csv",
+              "--out", tmp_path / "qa", "--n", "6")
+    assert "0 bad" in out
+    report = json.loads((tmp_path / "qa" / "qa_report.json").read_text())
+    assert len(report) == 6 and all(r["ok"] for r in report)
+
+
+def test_write_dataset_manifest(synth, tmp_path):
+    pq = tmp_path / "m.parquet"
+    run(PRE / "write_dataset_manifest.py", "--index", synth / "index.csv",
+        "--dataset", "synth", "--out", pq, "--organs", "lung")
+    from dinox_tpu.zoo.manifest import DataManifest
+
+    m = DataManifest.load(pq)
+    assert len(m) == 24 and m.records[0].organs_present == ["lung"]
+
+
+def test_make_split_manifest_cli(synth, tmp_path):
+    out = tmp_path / "split.json"
+    run(PRE / "make_split_manifest.py", "--index", synth / "index.csv",
+        "--out", out, "--val-fraction", "0.25")
+    man = json.loads(out.read_text())
+    assert len(man["val"]["series_dir"]) == 1
+
+
+def test_combine_indices_cli(synth, tmp_path):
+    out = tmp_path / "combined.csv"
+    run(PRE / "combine_indices.py", f"s1={synth / 'index.csv'}",
+        f"s2={synth / 'index.csv'}", "--out", out,
+        "--max-series-per-dataset", "1")
+    from dinox_tpu.data.index import load_index_rows
+
+    rows = load_index_rows(out)
+    assert {r.dataset for r in rows} == {"s1", "s2"}
+    assert len({r.series_dir for r in rows if r.dataset == "s1"}) == 1
+
+
+def test_extract_lidc_malignancy(synth, tmp_path):
+    from dinox_tpu.data.index import load_index_rows
+
+    rows = load_index_rows(synth / "index.csv")
+    annos = tmp_path / "nodules.csv"
+    with open(annos, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["series_dir", "slice_index", "center_x", "center_y",
+                    "malignancy", "patient_id"])
+        rng = np.random.default_rng(0)
+        for i, r in enumerate(rows[:12]):
+            w.writerow([r.series_dir, r.slice_index, 24, 24,
+                        int(rng.choice([1, 2, 3, 4, 5])), f"pat{i % 4}"])
+    out = tmp_path / "mal"
+    run(PRE / "extract_lidc_malignancy.py", "--index", synth / "index.csv",
+        "--annotations", annos, "--out", out, "--crop", "32")
+    for split in ("train", "val", "test"):
+        assert (out / f"{split}.csv").exists()
+    # patient stratification: splits share no patients -> verified by construction;
+    # check crops exist and are the right size
+    import PIL.Image
+
+    crops = list((out / "crops").glob("*.png"))
+    assert crops
+    assert PIL.Image.open(crops[0]).size == (32, 32)
