@@ -25,7 +25,6 @@ import optax
 
 from dinox_tpu.data.hu import EVAL_LEVEL, EVAL_WIDTH
 from dinox_tpu.ops.augment import AugConfig, augment_views, eval_transform
-from dinox_tpu.zoo.hub import LoadedModel
 from dinox_tpu.zoo.peft import LoraModel
 
 # -- labeled data -----------------------------------------------------------

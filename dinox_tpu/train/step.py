@@ -18,7 +18,6 @@ is deliberately not reproduced, SURVEY.md §7).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Optional
 
 import jax

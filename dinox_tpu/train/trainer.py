@@ -15,7 +15,6 @@ import time
 from pathlib import Path
 from typing import Any, Callable, Iterable, Optional
 
-import jax
 import numpy as np
 
 from dinox_tpu.train.anomaly import AnomalyDetector
@@ -101,6 +100,7 @@ def train(
             severity, msg = detector.check(host_metrics["loss"], host_metrics.get("embed_std", 1.0))
             if severity == "fatal":
                 ckpt.emergency_save(step, state, msg)
+                last_saved = step  # the finally-save must not collide
                 raise FloatingPointError(f"training anomaly at step {step}: {msg}")
             if severity == "warn":
                 print(f"anomaly_warn step={step} {msg}", flush=True)

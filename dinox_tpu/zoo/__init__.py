@@ -42,25 +42,26 @@ __all__ = [
 ]
 
 
+_LAZY = {
+    "load_model": "dinox_tpu.zoo.hub",
+    "export_hub_checkpoint": "dinox_tpu.zoo.hub",
+    "encode": "dinox_tpu.zoo.encode",
+    "encode_batch": "dinox_tpu.zoo.encode",
+    "apply_lora": "dinox_tpu.zoo.peft",
+    "save_adapter": "dinox_tpu.zoo.peft",
+    "load_adapter": "dinox_tpu.zoo.peft",
+    "merge_adapter": "dinox_tpu.zoo.peft",
+    "count_parameters": "dinox_tpu.zoo.peft",
+    "generate_model_card": "dinox_tpu.zoo.card",
+    "publish_to_hub": "dinox_tpu.zoo.publish",
+}
+
+
 def __getattr__(name):  # lazy re-exports
-    if name in ("load_model", "export_hub_checkpoint"):
-        from dinox_tpu.zoo import hub
+    # importlib (not `from ... import`): "encode" names both a submodule and
+    # a function, and a fromlist import would re-enter this __getattr__.
+    if name in _LAZY:
+        import importlib
 
-        return getattr(hub, name)
-    if name in ("encode", "encode_batch"):
-        from dinox_tpu.zoo import encode as _encode
-
-        return getattr(_encode, name)
-    if name in ("apply_lora", "save_adapter", "load_adapter", "count_parameters"):
-        from dinox_tpu.zoo import peft as _peft
-
-        return getattr(_peft, name)
-    if name == "generate_model_card":
-        from dinox_tpu.zoo.card import generate_model_card
-
-        return generate_model_card
-    if name == "publish_to_hub":
-        from dinox_tpu.zoo.publish import publish_to_hub
-
-        return publish_to_hub
+        return getattr(importlib.import_module(_LAZY[name]), name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

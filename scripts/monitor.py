@@ -52,7 +52,6 @@ def snapshot(args) -> dict:
     import jax.numpy as jnp
 
     from dinox_tpu.ops.augment import eval_transform
-    from dinox_tpu.train.checkpoint import CheckpointManager
     from dinox_tpu.train.losses import gram_matrix
     from dinox_tpu.train.run_export import load_backbone_from_run, load_state_from_run
 

@@ -151,7 +151,7 @@ def main(argv=None) -> int:
     from dinox_tpu.train.checkpoint import CheckpointManager, find_latest_run
     from dinox_tpu.train.state import TrainConfig, create_train_state
     from dinox_tpu.train.step import build_train_step
-    from dinox_tpu.train.trainer import config_dict, train
+    from dinox_tpu.train.trainer import train
     from dinox_tpu.zoo.lineage import get_git_commit
 
     mcfg = MODEL_CONFIGS[args.config].replace(

@@ -4,8 +4,6 @@ reference tests/test_card_publish.py per SURVEY.md §4)."""
 import json
 
 import jax
-import pytest
-
 from dinox_tpu.models.config import ModelConfig
 from dinox_tpu.models.vit import init_backbone
 from dinox_tpu.zoo.card import _scrub_path, generate_model_card

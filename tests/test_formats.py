@@ -1,14 +1,13 @@
 """DICOM / NIfTI minimal-reader tests (round-trips through our writers plus
 hand-built golden binary structures)."""
 
-import gzip
 import struct
 
 import numpy as np
 import pytest
 
 from dinox_tpu.data.dicom import read_dicom, write_dicom
-from dinox_tpu.data.nifti import NiftiVolume, read_nifti, write_nifti
+from dinox_tpu.data.nifti import read_nifti, write_nifti
 
 
 # -- NIfTI ------------------------------------------------------------------

@@ -2,8 +2,6 @@
 independent torch implementation of the documented reference architecture
 (tests-only oracle), plus round-trips, legacy migration, and hub formats."""
 
-import json
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,0 +1,109 @@
+"""Trainer-loop behavior tests: metric sinks, anomaly handling, emergency
+checkpoints, and the public zoo API surface."""
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dinox_tpu.data.pipeline import Batch
+from dinox_tpu.train.anomaly import AnomalyDetector
+from dinox_tpu.train.state import TrainConfig, TrainState, create_train_state
+from dinox_tpu.train.trainer import train
+from tests.test_train_step import TINY
+
+
+def make_batches(n=100):
+    rng = np.random.default_rng(0)
+
+    def gen():
+        while True:
+            yield Batch(
+                pixels=rng.integers(30000, 36000, (1, 4, 32, 32, 3), dtype=np.uint16),
+                spacing=np.ones((1, 4, 3), np.float32),
+                indices=np.arange(4),
+            )
+
+    return gen()
+
+
+def fake_step(loss_values):
+    """A step_fn stub cycling through scripted loss values."""
+    it = iter(loss_values)
+
+    def step_fn(state, pixels, spacing):
+        loss = next(it)
+        new_state = TrainState(
+            step=state.step + 1, student=state.student, teacher=state.teacher,
+            opt_state=state.opt_state, center=state.center,
+        )
+        return new_state, {"loss": jnp.float32(loss), "embed_std": jnp.float32(0.5)}
+
+    return step_fn
+
+
+@pytest.fixture
+def tiny_state():
+    import jax
+
+    return create_train_state(TINY.replace(batch_size=4), jax.random.key(0))
+
+
+def test_train_loop_logs_and_checkpoints(tmp_path, tiny_state):
+    cfg = TINY.replace(batch_size=4)
+    state = train(
+        cfg, tiny_state, fake_step([1.0] * 10), make_batches(),
+        run_dir=tmp_path / "run", max_steps=4, ckpt_every=2,
+        log_jsonl=True, tensorboard=False,
+    )
+    assert int(state.step) == 4
+    lines = (tmp_path / "run" / "metrics.jsonl").read_text().splitlines()
+    assert len(lines) == 4 and json.loads(lines[0])["step"] == 1
+    assert (tmp_path / "run" / "config.json").exists()
+    steps = sorted(int(d.name) for d in (tmp_path / "run" / "ckpt").iterdir()
+                   if d.name.isdigit())
+    assert steps == [2, 4]
+
+
+def test_train_loop_nan_triggers_emergency(tmp_path, tiny_state):
+    cfg = TINY.replace(batch_size=4)
+    with pytest.raises(FloatingPointError, match="anomaly"):
+        train(
+            cfg, tiny_state, fake_step([1.0, float("nan")]), make_batches(),
+            run_dir=tmp_path / "run", max_steps=10, ckpt_every=0,
+            tensorboard=False,
+        )
+    assert (tmp_path / "run" / "EMERGENCY.txt").exists()
+
+
+def test_anomaly_detector_spike_and_collapse():
+    det = AnomalyDetector(window=3, spike_factor=2.0)
+    for _ in range(3):
+        assert det.check(1.0, 0.5) == ("ok", "")
+    sev, msg = det.check(5.0, 0.5)
+    assert sev == "warn" and "spike" in msg
+    sev, msg = det.check(1.0, 0.001)
+    assert sev == "warn" and "collapse" in msg
+    sev, _ = det.check(float("inf"), 0.5)
+    assert sev == "fatal"
+
+
+def test_zoo_public_api_surface():
+    """The lazy re-exports advertised by the zoo package all resolve."""
+    import dinox_tpu.zoo as zoo
+
+    for name in ("load_model", "encode", "encode_batch", "apply_lora",
+                 "save_adapter", "load_adapter", "generate_model_card",
+                 "publish_to_hub", "export_hub_checkpoint", "count_parameters"):
+        assert callable(getattr(zoo, name)), name
+    with pytest.raises(AttributeError):
+        zoo.not_a_thing
+
+
+def test_hardware_detection():
+    from dinox_tpu.utils.hardware import detect_hardware
+
+    hw = detect_hardware()
+    assert hw.backend == "cpu"  # conftest forces cpu
+    assert hw.num_devices == 8 and hw.batch_size_recommendation > 0
