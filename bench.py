@@ -24,6 +24,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 import jax
 import numpy as np
 
+from dinox_tpu.utils.platform import enable_compilation_cache
+
+enable_compilation_cache()
+
 BASELINE_SLICES_PER_S = 159.0  # RTX 3090 Ti, docs/EXPERIMENTS.md:531-533
 
 

@@ -16,9 +16,13 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from dinox_tpu.utils.platform import respect_jax_platforms_env
+from dinox_tpu.utils.platform import (
+    enable_compilation_cache,
+    respect_jax_platforms_env,
+)
 
 respect_jax_platforms_env()
+enable_compilation_cache()
 
 
 import numpy as np
