@@ -58,7 +58,7 @@ def train(
     log_jsonl: bool = False,
     tensorboard: bool = True,
     loader_position: Optional[Callable[[], tuple[int, int]]] = None,
-    on_step: Optional[Callable[[int, dict], None]] = None,
+    on_step: Optional[Callable[[int, dict, TrainState], None]] = None,
 ) -> TrainState:
     """Run the training loop until *max_steps* optimizer steps.
 
@@ -106,7 +106,7 @@ def train(
                 print(f"anomaly_warn step={step} {msg}", flush=True)
 
             if on_step is not None:
-                on_step(step, host_metrics)
+                on_step(step, host_metrics, state)
 
             if ckpt_every and step % ckpt_every == 0:
                 ckpt.save(

@@ -82,6 +82,8 @@ def parse_args(argv=None):
                    help="train on synthetic on-the-fly batches (smoke/bench)")
     # ops
     p.add_argument("--ckpt-every", type=int, default=100)
+    p.add_argument("--monitor-every", type=int, default=0,
+                   help="in-loop attention/health snapshots every N steps (0=off)")
     p.add_argument("--ckpt-keep-last", type=int, default=5)
     p.add_argument("--log-json", action="store_true")
     p.add_argument("--no-tensorboard", action="store_true")
@@ -248,6 +250,31 @@ def main(argv=None) -> int:
 
     step_fn = build_train_step(cfg, mesh=mesh)
 
+    on_step = None
+    if args.monitor_every > 0:
+        from dinox_tpu.train.monitor_hook import TrainingMonitor
+
+        rng_probe = np.random.default_rng(0)
+        if loader is not None:
+            n_probe = min(8, len(loader.source))
+            probe_px = np.stack([loader.source.get(i)[0] for i in range(n_probe)])
+            probe_sp = np.asarray(
+                [[r.spacing_x, r.spacing_y, r.spacing_z]
+                 for r in loader.source.rows[:n_probe]], np.float32,
+            )
+        else:
+            probe_px = rng_probe.integers(
+                25000, 41000, (8, args.canvas, args.canvas, 3), dtype=np.uint16
+            )
+            probe_sp = rng_probe.uniform(0.4, 3.0, (8, 3)).astype(np.float32)
+        monitor = TrainingMonitor(
+            args.run_dir, cfg.model.replace(img_size=cfg.img_size),
+            probe_px, probe_sp, every=args.monitor_every,
+        )
+
+        def on_step(step, _metrics, state):  # noqa: ANN001
+            monitor.maybe_snapshot(step, state.student)
+
     args.run_dir.mkdir(parents=True, exist_ok=True)
     (args.run_dir / "provenance.json").write_text(json.dumps(provenance, indent=2))
 
@@ -266,6 +293,7 @@ def main(argv=None) -> int:
         log_jsonl=args.log_json,
         tensorboard=not args.no_tensorboard,
         loader_position=loader_position,
+        on_step=on_step,
     )
     dt = time.monotonic() - t0
     steps_done = int(np.asarray(state.step)) - start_step
