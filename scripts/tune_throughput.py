@@ -71,15 +71,23 @@ def measure(args, batch_size: int, num_workers: int) -> dict:
     try:
         if args.synthetic or args.index_csv is None:
             rng = np.random.default_rng(0)
+            # Pre-generate and cycle: regenerating ~100M random ints per step
+            # on the host would measure numpy, not the pipeline.
+            pool = [
+                (
+                    rng.integers(25000, 41000,
+                                 (1, batch_size, args.canvas, args.canvas, 3),
+                                 dtype=np.uint16),
+                    rng.uniform(0.4, 3.0, (1, batch_size, 3)).astype(np.float32),
+                )
+                for _ in range(2)
+            ]
 
             def batches():
+                i = 0
                 while True:
-                    yield (
-                        rng.integers(25000, 41000,
-                                     (1, batch_size, args.canvas, args.canvas, 3),
-                                     dtype=np.uint16),
-                        rng.uniform(0.4, 3.0, (1, batch_size, 3)).astype(np.float32),
-                    )
+                    yield pool[i % len(pool)]
+                    i += 1
 
             it = batches()
         else:
