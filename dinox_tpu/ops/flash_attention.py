@@ -184,3 +184,4 @@ def _bwd_rule(res, g):
 
 
 flash_attention.defvjp(_fwd_rule, _bwd_rule)
+
