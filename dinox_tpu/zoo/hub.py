@@ -104,29 +104,56 @@ def _cfg_from_dict(config: dict[str, Any]) -> ModelConfig:
     )
 
 
-def _load_torch_payload(path: Path) -> dict[str, Any]:
+def _load_torch_payload(path: Path, *, trusted: bool = False) -> dict[str, Any]:
+    """trusted=True (weights_only=False) only for local training checkpoints;
+    hub-dir / downloaded .pth files stay weights_only=True so third-party
+    pickles cannot execute code (reference zoo/hub.py:199 hardens the same path)."""
     import torch
 
-    return torch.load(path, map_location="cpu", weights_only=False)
+    return torch.load(path, map_location="cpu", weights_only=not trusted)
+
+
+def _shapes_match(tpl, got) -> bool:
+    if isinstance(tpl, dict):
+        return isinstance(got, dict) and all(
+            k in got and _shapes_match(v, got[k]) for k, v in tpl.items()
+        )
+    return np.shape(got) == tpl.shape
 
 
 def _fill_missing_params(params: dict, cfg: ModelConfig) -> dict:
     """Complete a partial tree (e.g. scale-aware model loaded from a
     scale-blind checkpoint) with freshly-initialized values — the analog of
-    the reference's strict=False tolerance (zoo/hub.py:139-142)."""
+    the reference's strict=False tolerance (zoo/hub.py:139-142). Any shape
+    mismatch under scale_embed/ drops the whole subtree and reinitializes it
+    (reference zoo/hub.py:139-141 — a differently-sized scale MLP must not
+    brick the load); mismatches elsewhere raise."""
     template = init_backbone(cfg, jax.random.key(0))
 
-    def merge(tpl, got):
+    se = params.get("scale_embed")
+    if se is not None and not _shapes_match(template.get("scale_embed", {}), se):
+        log.warning(
+            "scale_embed shape mismatch vs model config; dropping checkpoint "
+            "scale_embed and reinitializing (zero-init output => no-op)"
+        )
+        params = {k: v for k, v in params.items() if k != "scale_embed"}
+
+    def merge(tpl, got, path):
         if isinstance(tpl, dict):
-            return {k: merge(v, got.get(k)) if isinstance(got, dict) else v for k, v in tpl.items()}
+            return {
+                k: merge(v, got.get(k) if isinstance(got, dict) else None, f"{path}/{k}")
+                for k, v in tpl.items()
+            }
         if got is None:
             return tpl
         got = jnp.asarray(got, jnp.float32)
         if got.shape != tpl.shape:
-            raise ValueError(f"shape mismatch: checkpoint {got.shape} vs model {tpl.shape}")
+            raise ValueError(
+                f"shape mismatch at {path}: checkpoint {got.shape} vs model {tpl.shape}"
+            )
         return got
 
-    return merge(template, params)
+    return merge(template, params, "")
 
 
 def load_from_training_checkpoint(
@@ -141,7 +168,7 @@ def load_from_training_checkpoint(
     path = Path(path)
     if not path.exists():
         raise FileNotFoundError(f"Checkpoint not found: {path}")
-    payload = _load_torch_payload(path)
+    payload = _load_torch_payload(path, trusted=True)
 
     config = dict(HUB_DEFAULT_CONFIG)
     ckpt_cfg = payload.get("config")

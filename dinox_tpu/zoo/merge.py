@@ -34,15 +34,25 @@ def temperature_weights(sizes: list[int], temperature: float = 2.0) -> list[floa
 
 def _allocate_quotas(total: int, weights: list[float]) -> list[int]:
     """Integer per-dataset targets summing exactly to *total*: floor each
-    share (min 1), then hand out the remainder one-by-one, largest weight
-    first (reference: zoo/merge.py:160-173)."""
+    share (min 1), then hand out a positive remainder largest-weight-first, or
+    — when the min-1 floors overshoot (many tiny-weight datasets) — claw back
+    the excess smallest-weight-first keeping every quota >= 1
+    (reference: zoo/merge.py:160-173)."""
     quotas = [max(1, int(total * w)) for w in weights]
     leftover = total - sum(quotas)
-    for i in sorted(range(len(weights)), key=lambda j: weights[j], reverse=True):
-        if leftover <= 0:
-            break
-        quotas[i] += 1
-        leftover -= 1
+    if leftover > 0:
+        for i in sorted(range(len(weights)), key=lambda j: weights[j], reverse=True):
+            if leftover <= 0:
+                break
+            quotas[i] += 1
+            leftover -= 1
+    elif leftover < 0:
+        for i in sorted(range(len(weights)), key=lambda j: weights[j]):
+            while leftover < 0 and quotas[i] > 1:
+                quotas[i] -= 1
+                leftover += 1
+            if leftover >= 0:
+                break
     return quotas
 
 

@@ -46,6 +46,10 @@ enum {
   PNG16_TOO_SMALL = -4,     // output buffer too small
 };
 
+// CT slices are <= 1024 px; 1<<16 leaves generous headroom while keeping
+// width*height and (stride+1)*height well inside int64/size_t range.
+static const uint32_t kMaxDim = 1u << 16;
+
 // Parse header only: fills width/height/bit_depth. Returns PNG16_* code.
 int png16_header(const uint8_t* data, int64_t size, uint32_t* width,
                  uint32_t* height, uint32_t* bit_depth) {
@@ -61,13 +65,15 @@ int png16_header(const uint8_t* data, int64_t size, uint32_t* width,
   uint8_t interlace = ihdr[12];
   if (color_type != 0 || (*bit_depth != 8 && *bit_depth != 16) || interlace != 0)
     return PNG16_UNSUPPORTED;
+  // Reject adversarial dims: keeps all later size arithmetic far from
+  // int64/size_t overflow and bounds the decode allocation (<= ~8 GiB raw).
+  if (*width == 0 || *height == 0 || *width > kMaxDim || *height > kMaxDim)
+    return PNG16_UNSUPPORTED;
   return PNG16_OK;
 }
 
-// Decode a grayscale PNG into out (row-major uint16, host endianness).
-// out must hold width*height uint16s. 8-bit sources are widened.
-int png16_decode(const uint8_t* data, int64_t size, uint16_t* out,
-                 int64_t out_capacity) {
+static int png16_decode_impl(const uint8_t* data, int64_t size, uint16_t* out,
+                             int64_t out_capacity) {
   uint32_t w, h, depth;
   int rc = png16_header(data, size, &w, &h, &depth);
   if (rc != PNG16_OK) return rc;
@@ -128,6 +134,19 @@ int png16_decode(const uint8_t* data, int64_t size, uint16_t* out,
     prev.swap(cur);
   }
   return PNG16_OK;
+}
+
+// Decode a grayscale PNG into out (row-major uint16, host endianness).
+// out must hold width*height uint16s. 8-bit sources are widened.
+// Exceptions (e.g. bad_alloc on a hostile size) must not cross the
+// extern "C"/ctypes boundary — map them to PNG16_CORRUPT.
+int png16_decode(const uint8_t* data, int64_t size, uint16_t* out,
+                 int64_t out_capacity) {
+  try {
+    return png16_decode_impl(data, size, out, out_capacity);
+  } catch (...) {
+    return PNG16_CORRUPT;
+  }
 }
 
 }  // extern "C"

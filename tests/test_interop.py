@@ -198,6 +198,36 @@ def test_scale_aware_mismatch_tolerated(tmp_path, oracle):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_scale_embed_width_mismatch_reinitialized(tmp_path, oracle):
+    """A checkpoint whose scale_embed MLP was built at a different hidden
+    width must load with scale_embed dropped + reinitialized, not crash
+    (reference zoo/hub.py:139-141)."""
+    sd = dict(oracle.state_dict())
+    wrong_hidden = 24  # model expects max(dim//4, 16) = 16
+    sd["scale_embed.mlp.0.weight"] = torch.randn(wrong_hidden, 3)
+    sd["scale_embed.mlp.0.bias"] = torch.randn(wrong_hidden)
+    sd["scale_embed.mlp.2.weight"] = torch.randn(32, wrong_hidden)
+    payload = {"student": {f"backbone.{k}": v for k, v in sd.items()}, "config": {
+        "model": {"patch": 14, "dim": 32, "depth": 2, "heads": 2, "num_registers": 3},
+        "img_size": 28, "scale_aware": True}}
+    p = tmp_path / "ckpt.pth"
+    torch.save(payload, p)
+    model = load_from_training_checkpoint(p)
+    # reinitialized scale_embed output layer is zero-init -> spacing is a no-op
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 28, 28, 3)), jnp.float32)
+    a = model(x, jnp.asarray([[0.5, 0.5, 1.0]]))
+    b = model(x, jnp.asarray([[9.9, 9.9, 9.9]]))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    # non-scale_embed mismatches still raise
+    sd2 = dict(oracle.state_dict())
+    sd2["norm.weight"] = torch.randn(64)
+    p2 = tmp_path / "ckpt2.pth"
+    torch.save({"student": {f"backbone.{k}": v for k, v in sd2.items()},
+                "config": payload["config"]}, p2)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        load_from_training_checkpoint(p2)
+
+
 def test_hub_dir_roundtrip_safetensors(tmp_path, oracle):
     params = jax.tree_util.tree_map(jnp.asarray, torch_to_jax_backbone(oracle.state_dict()))
     model = LoadedModel(CFG, params)

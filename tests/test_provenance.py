@@ -169,6 +169,22 @@ def test_merge_manual_weights():
     assert by_name["a"].slices_used == 75 and by_name["b"].slices_used == 25
 
 
+def test_merge_many_tiny_datasets_exact_total():
+    """The min-1 quota floors can overshoot total_slices with many
+    small-weight datasets; the allocator must claw the excess back while
+    keeping every dataset represented (>= 1)."""
+    merger = DatasetMerger()
+    merger.add(DataManifest(make_records("big", n_series=100, n_slices=10)), weight=100.0)
+    for i in range(6):
+        merger.add(DataManifest(make_records(f"tiny{i}", n_series=1, n_slices=3)),
+                   weight=0.001)
+    merged, usage = merger.build(seed=0, total_slices=10, strategy="manual")
+    assert len(merged) == 10
+    assert sum(u.slices_used for u in usage) == 10
+    # every dataset still represented at least once; excess clawed from the big one
+    assert all(u.slices_used >= 1 for u in usage)
+
+
 def test_merge_errors():
     with pytest.raises(ValueError):
         DatasetMerger().build()
