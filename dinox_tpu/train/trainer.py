@@ -59,6 +59,8 @@ def train(
     tensorboard: bool = True,
     loader_position: Optional[Callable[[], tuple[int, int]]] = None,
     on_step: Optional[Callable[[int, dict, TrainState], None]] = None,
+    profile_steps: int = 0,
+    profile_start: int = 2,
 ) -> TrainState:
     """Run the training loop until *max_steps* optimizer steps.
 
@@ -80,49 +82,95 @@ def train(
     t_last, n_since = time.monotonic(), 0
     step = start_step
     last_saved = -1
+    # Device metrics are buffered and converted to host floats on a 10-s
+    # cadence (or at checkpoint/final steps): a per-step float() would block
+    # on the device every step and defeat async dispatch — the XLA analog of
+    # the reference's "don't .item() in the hot loop" rule.
+    pending: list[tuple[int, dict]] = []
+
+    def flush() -> None:
+        nonlocal t_last, n_since, last_saved
+        if not pending:
+            return
+        for i, (s, m) in enumerate(pending):
+            host = {k: float(v) for k, v in m.items()}
+            is_last = i == len(pending) - 1
+            if is_last:
+                now = time.monotonic()  # after the device sync above
+                host["samples_per_s"] = n_since / max(now - t_last, 1e-9)
+                t_last, n_since = now, 0
+            logger.log(s, host, force_stdout=is_last)
+            severity, msg = detector.check(host["loss"], host.get("embed_std", 1.0))
+            if severity == "fatal":
+                ckpt.emergency_save(s, state, msg)
+                last_saved = step  # the finally-save must not collide
+                raise FloatingPointError(f"training anomaly at step {s}: {msg}")
+            if severity == "warn":
+                print(f"anomaly_warn step={s} {msg}", flush=True)
+        pending.clear()
+
+    # jax.profiler trace window: [start_step+profile_start, +profile_steps),
+    # skipping the compile step — the TPU analog of the reference tuner's
+    # per-phase perf_counter segmentation (reference tune_throughput.py:630-700).
+    profile_at = step + profile_start if profile_steps > 0 else -1
+    profiling = False
+
     try:
         while step < max_steps and not stop.stop:
             batch = next(it)
             pixels, spacing = np.asarray(batch.pixels), np.asarray(batch.spacing)
             if pixels.ndim == 4:  # lift (B, H, W, 3) -> (1, B, H, W, 3)
                 pixels, spacing = pixels[None], spacing[None]
+
+            if step == profile_at and not profiling:
+                import jax
+
+                jax.block_until_ready(state.step)  # trace only steady-state work
+                jax.profiler.start_trace(str(run_dir / "profile"))
+                profiling = True
             state, metrics = step_fn(state, pixels, spacing)
             step += 1
             n_since += samples_per_step
+            pending.append((step, metrics))
 
-            host_metrics = {k: float(v) for k, v in metrics.items()}
-            now = time.monotonic()
-            if now - t_last >= 10.0 or step == max_steps:
-                host_metrics["samples_per_s"] = n_since / (now - t_last)
-                t_last, n_since = now, 0
-            logger.log(step, host_metrics, force_stdout="samples_per_s" in host_metrics)
+            if profiling and step >= profile_at + profile_steps:
+                import jax
 
-            severity, msg = detector.check(host_metrics["loss"], host_metrics.get("embed_std", 1.0))
-            if severity == "fatal":
-                ckpt.emergency_save(step, state, msg)
-                last_saved = step  # the finally-save must not collide
-                raise FloatingPointError(f"training anomaly at step {step}: {msg}")
-            if severity == "warn":
-                print(f"anomaly_warn step={step} {msg}", flush=True)
+                jax.block_until_ready(state.step)
+                jax.profiler.stop_trace()
+                profiling = False
+                print(f"profile trace written to {run_dir / 'profile'}", flush=True)
 
             if on_step is not None:
-                on_step(step, host_metrics, state)
+                # metrics stay on-device here; hooks that need host values
+                # convert on their own cadence.
+                on_step(step, metrics, state)
 
-            if ckpt_every and step % ckpt_every == 0:
+            due_ckpt = bool(ckpt_every and step % ckpt_every == 0)
+            if due_ckpt or step == max_steps or stop.stop or time.monotonic() - t_last >= 10.0:
+                flush()
+            if due_ckpt:
                 ckpt.save(
                     step, state, config=config_dict(cfg),
                     loader_position=loader_position() if loader_position else None,
                 )
                 last_saved = step
     finally:
-        # Final checkpoint — unless the periodic save already covered this step.
-        if last_saved != step:
-            ckpt.save(
-                step, state, config=config_dict(cfg),
-                loader_position=loader_position() if loader_position else None,
-                force=True,
-            )
-        ckpt.close()
-        logger.close()
-        stop.restore()
+        if profiling:
+            import jax
+
+            jax.profiler.stop_trace()
+        try:
+            flush()  # drain buffered metrics (may raise on a late anomaly)
+        finally:
+            # Final checkpoint — unless a periodic/emergency save covered it.
+            if last_saved != step:
+                ckpt.save(
+                    step, state, config=config_dict(cfg),
+                    loader_position=loader_position() if loader_position else None,
+                    force=True,
+                )
+            ckpt.close()
+            logger.close()
+            stop.restore()
     return state

@@ -87,6 +87,11 @@ def parse_args(argv=None):
     p.add_argument("--ckpt-keep-last", type=int, default=5)
     p.add_argument("--log-json", action="store_true")
     p.add_argument("--no-tensorboard", action="store_true")
+    p.add_argument("--profile-steps", type=int, default=0,
+                   help="capture a jax.profiler trace of this many steps into "
+                        "run_dir/profile (starts after --profile-start steps "
+                        "so compilation is excluded)")
+    p.add_argument("--profile-start", type=int, default=2)
     p.add_argument("--model-parallel", type=int, default=1)
     return p.parse_args(argv)
 
@@ -294,6 +299,8 @@ def main(argv=None) -> int:
         tensorboard=not args.no_tensorboard,
         loader_position=loader_position,
         on_step=on_step,
+        profile_steps=args.profile_steps,
+        profile_start=args.profile_start,
     )
     dt = time.monotonic() - t0
     steps_done = int(np.asarray(state.step)) - start_step
