@@ -103,10 +103,18 @@ class Attention(nn.Module):
             3 * self.dim, dtype=self.dtype,
             kernel_init=xavier_uniform, name="qkv", **self._lora_for("qkv"),
         )(x, deterministic=not train)
-        qkv = qkv.reshape(B, N, 3, self.num_heads, hd)
-        q, k, v = (jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3))
-        out = sdpa(q, k, v, impl=self.attn_impl)
-        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, C)
+        if self.attn_impl == "pallas" and jax.default_backend() != "cpu":
+            # Layout-native path: the kernel consumes the fused-QKV output and
+            # emits the out-projection input directly — no (B,H,N,D) HBM
+            # transposes (a round-2 trace showed them costing 22 GB/step).
+            from dinox_tpu.ops.flash_attention import flash_attention_packed
+
+            out = flash_attention_packed(qkv, self.num_heads)
+        else:
+            qkv = qkv.reshape(B, N, 3, self.num_heads, hd)
+            q, k, v = (jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3))
+            out = sdpa(q, k, v, impl=self.attn_impl)
+            out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, C)
         return LoraDense(
             self.dim, dtype=self.dtype,
             kernel_init=xavier_uniform, name="proj", **self._lora_for("proj"),

@@ -185,3 +185,175 @@ def _bwd_rule(res, g):
 
 flash_attention.defvjp(_fwd_rule, _bwd_rule)
 
+
+# -- packed-QKV layout-native kernel -----------------------------------------
+#
+# The (B, H, N, D) kernel above needs six XLA transposes per attention call
+# (qkv -> q/k/v head-major, out -> token-major); a round-2 trace showed those
+# "data formatting" ops moving 22 GB/step. This variant consumes the fused QKV
+# projection output (B, N, 3*dim) AS PRODUCED and emits (B, N, dim) AS
+# CONSUMED by the out-projection — zero HBM layout changes. Heads live in
+# static 64/128-wide column slices of the 3*dim axis, so every BlockSpec stays
+# <= 3-D (the 5-D packed layout Mosaic rejected in round 1, commit 6ed7b95).
+
+
+def _packed_kernel(qkv_ref, o_ref, *, scale: float, group: int, heads: int, hd: int):
+    dim = heads * hd
+    # group/heads are static -> Python loops keep every slice static.
+    for g in range(group):
+        for h in range(heads):
+            q = qkv_ref[g, :, h * hd:(h + 1) * hd]
+            k = qkv_ref[g, :, dim + h * hd:dim + (h + 1) * hd]
+            v = qkv_ref[g, :, 2 * dim + h * hd:2 * dim + (h + 1) * hd]
+            # scale folded into q (an (n,d) multiply, not (n,n)); softmax
+            # normalization folded into the (n,d) output for the same reason.
+            s = jax.lax.dot_general(
+                (q.astype(jnp.float32) * scale).astype(q.dtype), k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            denom = jnp.sum(e, axis=-1, keepdims=True)
+            o = jnp.dot(e.astype(v.dtype), v, preferred_element_type=jnp.float32)
+            o_ref[g, :, h * hd:(h + 1) * hd] = (o / denom).astype(o_ref.dtype)
+
+
+def _packed_bwd_kernel(qkv_ref, do_ref, dqkv_ref,
+                       *, scale: float, group: int, heads: int, hd: int):
+    dim = heads * hd
+    for g in range(group):
+        for h in range(heads):
+            q = qkv_ref[g, :, h * hd:(h + 1) * hd]
+            k = qkv_ref[g, :, dim + h * hd:dim + (h + 1) * hd]
+            v = qkv_ref[g, :, 2 * dim + h * hd:2 * dim + (h + 1) * hd]
+            do = do_ref[g, :, h * hd:(h + 1) * hd]
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            pb = p.astype(v.dtype)
+            dv = jax.lax.dot_general(
+                pb, do, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dp = jax.lax.dot_general(
+                do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            dsb = (ds * scale).astype(q.dtype)
+            dqkv_ref[g, :, h * hd:(h + 1) * hd] = jnp.dot(
+                dsb, k, preferred_element_type=jnp.float32
+            ).astype(dqkv_ref.dtype)
+            dqkv_ref[g, :, dim + h * hd:dim + (h + 1) * hd] = jax.lax.dot_general(
+                dsb, q, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dqkv_ref.dtype)
+            dqkv_ref[g, :, 2 * dim + h * hd:2 * dim + (h + 1) * hd] = dv.astype(dqkv_ref.dtype)
+
+
+def _pick_group(b: int, per_item_bytes: int, budget: int) -> int:
+    """Largest group whose double-buffered blocks fit the VMEM budget
+    (the pipeline keeps 2x every in/out block resident)."""
+    for g in (8, 4, 2, 1):
+        if b % g == 0 and 2 * g * per_item_bytes <= budget:
+            return g
+    return 1
+
+
+def _packed_fwd(qkv: jnp.ndarray, heads: int) -> jnp.ndarray:
+    b, n, three_dim = qkv.shape
+    dim = three_dim // 3
+    hd = dim // heads
+    # fwd VMEM per item: qkv block + out block; the unrolled per-head f32
+    # logits scratch needs real headroom (group 8 fit standalone but OOMed
+    # inside the full train step at 20.4M/16M).
+    group = _pick_group(b, (three_dim + dim) * n * qkv.dtype.itemsize,
+                        budget=8 * 1024 * 1024)
+    scale = 1.0 / (hd ** 0.5)
+    kernel = functools.partial(
+        _packed_kernel, scale=scale, group=group, heads=heads, hd=hd
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b // group,),
+        in_specs=[pl.BlockSpec((group, n, three_dim), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((group, n, dim), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, dim), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * n * n * hd,
+            bytes_accessed=(three_dim + dim) * b * n * qkv.dtype.itemsize,
+            transcendentals=b * heads * n * n,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(qkv)
+    return out
+
+
+def _packed_bwd(qkv: jnp.ndarray, do: jnp.ndarray, heads: int) -> jnp.ndarray:
+    b, n, three_dim = qkv.shape
+    dim = three_dim // 3
+    hd = dim // heads
+    # bwd keeps more f32 scratch alive (s/p/dp per unrolled head) -> bigger margin
+    group = _pick_group(b, (2 * three_dim + dim) * n * qkv.dtype.itemsize,
+                        budget=9 * 1024 * 1024)
+    kernel = functools.partial(
+        _packed_bwd_kernel, scale=1.0 / (hd ** 0.5), group=group, heads=heads, hd=hd
+    )
+    spec_qkv = pl.BlockSpec((group, n, three_dim), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    spec_o = pl.BlockSpec((group, n, dim), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // group,),
+        in_specs=[spec_qkv, spec_o],
+        out_specs=spec_qkv,
+        out_shape=jax.ShapeDtypeStruct((b, n, three_dim), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * heads * n * n * hd,
+            bytes_accessed=(2 * three_dim + dim) * b * n * qkv.dtype.itemsize,
+            transcendentals=b * heads * n * n,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(qkv, do)
+
+
+def _xla_sdpa_packed(qkv: jnp.ndarray, heads: int) -> jnp.ndarray:
+    b, n, three_dim = qkv.shape
+    dim = three_dim // 3
+    hd = dim // heads
+    q, k, v = (
+        qkv[:, :, i * dim:(i + 1) * dim].reshape(b, n, heads, hd).transpose(0, 2, 1, 3)
+        for i in range(3)
+    )
+    return _xla_sdpa(q, k, v).transpose(0, 2, 1, 3).reshape(b, n, dim)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def flash_attention_packed(qkv: jnp.ndarray, heads: int) -> jnp.ndarray:
+    """Layout-native fused MHA: qkv (B, N, 3*dim) [q|k|v] -> (B, N, dim)."""
+    if qkv.shape[1] > MAX_SINGLE_BLOCK_SEQ:
+        return _xla_sdpa_packed(qkv, heads)
+    return _packed_fwd(qkv, heads)
+
+
+def _packed_fwd_rule(qkv, heads):
+    return flash_attention_packed(qkv, heads), qkv
+
+
+def _packed_bwd_rule(heads, qkv, g):
+    if qkv.shape[1] > MAX_SINGLE_BLOCK_SEQ:
+        _, vjp = jax.vjp(lambda t: _xla_sdpa_packed(t, heads), qkv)
+        return vjp(g)
+    return (_packed_bwd(qkv, g, heads),)
+
+
+flash_attention_packed.defvjp(_packed_fwd_rule, _packed_bwd_rule)
+

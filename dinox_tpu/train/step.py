@@ -144,11 +144,8 @@ def build_train_step(
         micro_keys = jax.vmap(lambda a: jax.random.fold_in(step_key, a))(jnp.arange(accum))
 
         grad_fn = jax.value_and_grad(_micro_loss, has_aux=True)
-        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.student)
 
-        def micro(carry, inp):
-            grads_acc, center = carry
-            px, sp, k = inp
+        def run_micro(center, px, sp, k):
             views = augment_fn(px, k, aug_cfg)  # (2, B, S, S, 3)
             batch = constrain(
                 views.reshape((-1,) + views.shape[2:]), P(DATA_AXIS)
@@ -157,14 +154,28 @@ def build_train_step(
                 state.student, state.teacher, center, batch, sp,
                 jax.random.fold_in(k, 0x3AE), cfg, model
             )
-            grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
-            return (grads_acc, new_center), metrics
+            return grads, new_center, metrics
 
-        (grads, center), metrics_seq = jax.lax.scan(
-            micro, (zero_grads, state.center), (pixels, spacing, micro_keys)
-        )
-        grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
-        metrics = jax.tree_util.tree_map(jnp.mean, metrics_seq)
+        if accum == 1:
+            # No scan: skips a full zero-init + add over the grad pytree.
+            grads, center, metrics = run_micro(
+                state.center, pixels[0], spacing[0], micro_keys[0]
+            )
+        else:
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.student)
+
+            def micro(carry, inp):
+                grads_acc, center = carry
+                px, sp, k = inp
+                grads, new_center, metrics = run_micro(center, px, sp, k)
+                grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+                return (grads_acc, new_center), metrics
+
+            (grads, center), metrics_seq = jax.lax.scan(
+                micro, (zero_grads, state.center), (pixels, spacing, micro_keys)
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+            metrics = jax.tree_util.tree_map(jnp.mean, metrics_seq)
         metrics["grad_norm"] = optax.global_norm(grads)
 
         updates, opt_state = tx.update(grads, state.opt_state, state.student)
