@@ -60,13 +60,62 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def tp_param_spec(path: tuple, leaf) -> P:
+    """Megatron-style tensor-parallel PartitionSpec for one param leaf.
+
+    Column-parallel: attn.qkv and mlp.fc1 kernels split on the output dim
+    (each rank holds a head/hidden shard; biases follow). Row-parallel:
+    attn.proj and mlp.fc2 kernels split on the input dim (XLA inserts the
+    psum over `model` at their output). Everything else — embeddings, norms,
+    scale_embed ("physics" layers), DINO head, LoRA factors — is replicated.
+    Matching is by dict-key names, so the same rule shards params and the
+    optimizer's mu/nu mirrors.
+    """
+    names = [k.key for k in path if isinstance(k, jax.tree_util.DictKey)]
+    if len(names) >= 2 and getattr(leaf, "ndim", 0) in (1, 2):
+        last, parent = names[-1], names[-2]
+        col = (parent == "qkv" and "attn" in names) or (parent == "fc1" and "mlp" in names)
+        row = (parent == "proj" and "attn" in names) or (parent == "fc2" and "mlp" in names)
+        if last == "kernel" and leaf.ndim == 2:
+            if col:
+                return P(None, MODEL_AXIS)
+            if row:
+                return P(MODEL_AXIS, None)
+        if last == "bias" and leaf.ndim == 1 and col:
+            return P(MODEL_AXIS)
+    return P()
+
+
+def state_shardings(mesh: Mesh, state):
+    """NamedShardings for a TrainState pytree: TP specs when the `model` axis
+    is real, full replication otherwise."""
+    if mesh.shape[MODEL_AXIS] == 1:
+        return jax.tree_util.tree_map(lambda _: replicated(mesh), state)
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: NamedSharding(mesh, tp_param_spec(p, x)), state
+    )
+
+
 def shard_batch(mesh: Mesh, tree):
     """Place a host-local pytree of arrays as batch-sharded global arrays.
 
     Single-process: device_put with the batch sharding. Multi-process: each
     host contributes its local shard of the global batch.
     """
-    sharding = batch_sharding(mesh)
+    return put_global_batch(mesh, tree, spec=P(DATA_AXIS))
+
+
+def put_global_batch(mesh: Mesh, tree, spec: P = P(None, DATA_AXIS)):
+    """Assemble host-local (accum, B_local, ...) arrays into the global
+    batch-sharded array the jitted step consumes.
+
+    Single-process this is a device_put; under ``jax.process_count() > 1``
+    each host's arrays become its shard of the global batch
+    (``jax.make_array_from_process_local_data``), so the per-host loaders'
+    disjoint index shards (data.index.shard_rows) compose into one global
+    batch instead of every host treating its local batch as the world.
+    """
+    sharding = NamedSharding(mesh, spec)
     if jax.process_count() == 1:
         return jax.device_put(tree, sharding)
     return jax.tree_util.tree_map(

@@ -54,6 +54,10 @@ class TrainConfig:
     crop_scale_max: float = 1.0
     # Reproducibility
     train_seed: int = 0
+    # Adam first-moment dtype. "bfloat16" halves the largest optimizer buffer
+    # — needed to fit ViT-Giant (1.0B params: 4 f32 copies alone fill a 16 GB
+    # v5e) on one chip; f32 elsewhere keeps the update numerically standard.
+    mu_dtype: str = "float32"
 
     @property
     def effective_batch_size(self) -> int:
@@ -92,7 +96,8 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         return get_lr_jnp(count, cfg.max_steps, cfg.warmup_steps, cfg.lr, cfg.min_lr)
 
     return optax.adamw(
-        learning_rate=sched, b1=0.9, b2=0.999, eps=1e-8, weight_decay=cfg.weight_decay
+        learning_rate=sched, b1=0.9, b2=0.999, eps=1e-8,
+        weight_decay=cfg.weight_decay, mu_dtype=jnp.dtype(cfg.mu_dtype),
     )
 
 

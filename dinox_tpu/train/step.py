@@ -27,7 +27,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from dinox_tpu.models.vit import DinoStudentTeacher
 from dinox_tpu.ops.augment import augment_views
-from dinox_tpu.parallel.mesh import DATA_AXIS
+from dinox_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, state_shardings
 from dinox_tpu.train.losses import dino_loss, gram_anchoring_loss, koleo_loss, simclr_loss
 from dinox_tpu.train.schedule import get_lr_jnp
 from dinox_tpu.train.state import TrainConfig, TrainState, make_optimizer
@@ -197,6 +197,14 @@ def build_train_step(
             opt_state=opt_state,
             center=center,
         )
+        if mesh is not None and mesh.shape.get(MODEL_AXIS, 1) > 1:
+            # Pin the tensor-parallel layout on the outputs so param shards
+            # stay put across steps instead of drifting to whatever GSPMD
+            # propagation picks.
+            new_state = jax.tree_util.tree_map(
+                jax.lax.with_sharding_constraint, new_state,
+                state_shardings(mesh, new_state),
+            )
         metrics["lr"] = get_lr_jnp(
             state.step, cfg.max_steps, cfg.warmup_steps, cfg.lr, cfg.min_lr
         )

@@ -61,12 +61,15 @@ def train(
     on_step: Optional[Callable[[int, dict, TrainState], None]] = None,
     profile_steps: int = 0,
     profile_start: int = 2,
+    mesh=None,
 ) -> TrainState:
     """Run the training loop until *max_steps* optimizer steps.
 
     *batches* yields objects with ``.pixels`` (accum, B, H, W, 3) uint16 and
     ``.spacing`` (accum, B, 3) float32 (or plain (B, ...) arrays which are
-    lifted to accum=1).
+    lifted to accum=1). When *mesh* is given, host-local batches are placed
+    as global batch-sharded arrays (multi-host: each process contributes its
+    shard — see parallel.mesh.put_global_batch).
     """
     run_dir = Path(run_dir)
     run_dir.mkdir(parents=True, exist_ok=True)
@@ -121,6 +124,10 @@ def train(
             pixels, spacing = np.asarray(batch.pixels), np.asarray(batch.spacing)
             if pixels.ndim == 4:  # lift (B, H, W, 3) -> (1, B, H, W, 3)
                 pixels, spacing = pixels[None], spacing[None]
+            if mesh is not None:
+                from dinox_tpu.parallel.mesh import put_global_batch
+
+                pixels, spacing = put_global_batch(mesh, (pixels, spacing))
 
             if step == profile_at and not profiling:
                 import jax

@@ -158,7 +158,7 @@ def main(argv=None) -> int:
     )
     from dinox_tpu.data.pipeline import TrainLoader
     from dinox_tpu.models.config import MODEL_CONFIGS
-    from dinox_tpu.parallel.mesh import make_mesh, replicated
+    from dinox_tpu.parallel.mesh import make_mesh, state_shardings
     from dinox_tpu.train.checkpoint import CheckpointManager, find_latest_run
     from dinox_tpu.train.state import TrainConfig, create_train_state
     from dinox_tpu.train.step import build_train_step
@@ -234,9 +234,14 @@ def main(argv=None) -> int:
         loader_position = lambda: loader.position  # noqa: E731
 
     # -- state / resume -----------------------------------------------------
+    if args.model_parallel > 1 and args.attn_impl == "pallas":
+        # The Pallas kernel isn't shard_map-wrapped for a split `model` axis
+        # yet; XLA attention partitions cleanly under GSPMD.
+        print("model_parallel>1: forcing --attn-impl xla", flush=True)
+        cfg = cfg.replace(model=cfg.model.replace(attn_impl="xla"))
     mesh = make_mesh(model_parallel=args.model_parallel)
     state = create_train_state(cfg, jax.random.key(args.seed))
-    state = jax.device_put(state, replicated(mesh))
+    state = jax.device_put(state, state_shardings(mesh, state))
     start_step = 0
     resume_dir = None
     if args.resume == "auto":
@@ -247,6 +252,7 @@ def main(argv=None) -> int:
         mgr = CheckpointManager(resume_dir, keep_last=args.ckpt_keep_last)
         state, meta = mgr.restore(state)
         mgr.close()
+        state = jax.device_put(state, state_shardings(mesh, state))
         start_step = int(meta["step"])
         print(f"resumed from {resume_dir} at step {start_step}", flush=True)
         if loader is not None:
@@ -301,6 +307,7 @@ def main(argv=None) -> int:
         on_step=on_step,
         profile_steps=args.profile_steps,
         profile_start=args.profile_start,
+        mesh=mesh,
     )
     dt = time.monotonic() - t0
     steps_done = int(np.asarray(state.step)) - start_step
