@@ -83,7 +83,8 @@ def test_extract_lidc_malignancy(synth, tmp_path):
                         int(rng.choice([1, 2, 3, 4, 5])), f"pat{i % 4}"])
     out = tmp_path / "mal"
     run(PRE / "extract_lidc_malignancy.py", "--index", synth / "index.csv",
-        "--annotations", annos, "--out", out, "--crop", "32")
+        "--annotations", annos, "--annotations-format", "consensus",
+        "--out", out, "--crop", "32")
     for split in ("train", "val", "test"):
         assert (out / f"{split}.csv").exists()
     # patient stratification: splits share no patients -> verified by construction;
@@ -93,3 +94,29 @@ def test_extract_lidc_malignancy(synth, tmp_path):
     crops = list((out / "crops").glob("*.png"))
     assert crops
     assert PIL.Image.open(crops[0]).size == (32, 32)
+
+
+def test_extract_lidc_malignancy_raw_consensus(synth, tmp_path):
+    """Raw per-annotator marks -> clustering + multi-rater consensus through
+    the CLI (the pylidc-equivalent path on a synthetic fixture)."""
+    from dinox_tpu.data.index import load_index_rows
+
+    rows = load_index_rows(synth / "index.csv")
+    annos = tmp_path / "marks.csv"
+    with open(annos, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["series_dir", "patient_id", "annotator", "slice_index",
+                    "center_x", "center_y", "malignancy", "width", "height"])
+        # 3 raters marking one nodule per series, ratings straddle threshold
+        for si, r in enumerate(rows[:6]):
+            for rater, mal in (("r1", 5), ("r2", 4), ("r3", 4 if si % 2 else 1)):
+                w.writerow([r.series_dir, f"pat{si % 3}", rater, r.slice_index,
+                            24 + hash(rater) % 3, 24, mal, 10, 10])
+    out = tmp_path / "mal_raw"
+    run(PRE / "extract_lidc_malignancy.py", "--index", synth / "index.csv",
+        "--annotations", annos, "--annotations-format", "raw",
+        "--out", out, "--crop", "24", "--min-raters", "2")
+    all_rows = list(csv.DictReader(open(out / "all.csv")))
+    assert all_rows
+    assert {"avg_malignancy", "n_raters", "rater_agreement"} <= set(all_rows[0])
+    assert all(int(r["n_raters"]) >= 2 for r in all_rows)
