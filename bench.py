@@ -65,7 +65,60 @@ def bench_train_step(batch_size: int, steps: int = 20, warmup: int = 5) -> float
     return batch_size / dt
 
 
+def check_kernels() -> int:
+    """Real-kernel regression gate: Pallas fwd+bwd vs XLA on the live chip
+    (CI runs the kernels only in CPU interpret mode; this is the only place
+    the Mosaic-compiled code is numerically checked). Run before benching."""
+    import jax.numpy as jnp
+
+    from dinox_tpu.ops.flash_attention import (
+        _xla_sdpa,
+        _xla_sdpa_packed,
+        flash_attention,
+        flash_attention_packed,
+    )
+
+    if jax.default_backend() == "cpu":
+        print("# check: no TPU visible; kernels would run interpreted — FAIL",
+              file=sys.stderr)
+        return 1
+    rng = np.random.default_rng(0)
+    ok = True
+    for b, n, dim, heads in ((8, 261, 384, 6), (2, 261, 1408, 16)):
+        qkv = jax.device_put(
+            rng.normal(size=(b, n, 3 * dim)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        f_p = jax.jit(lambda t, h=heads: flash_attention_packed(t, h))
+        f_x = jax.jit(lambda t, h=heads: _xla_sdpa_packed(t, h))
+        fwd_err = float(jnp.max(jnp.abs(
+            f_p(qkv).astype(jnp.float32) - f_x(qkv).astype(jnp.float32))))
+        g_p = jax.jit(jax.grad(lambda t, h=heads: jnp.sum(
+            flash_attention_packed(t, h).astype(jnp.float32) ** 2)))
+        g_x = jax.jit(jax.grad(lambda t, h=heads: jnp.sum(
+            _xla_sdpa_packed(t, h).astype(jnp.float32) ** 2)))
+        bwd_err = float(jnp.max(jnp.abs(
+            g_p(qkv).astype(jnp.float32) - g_x(qkv).astype(jnp.float32))))
+        good = fwd_err < 0.02 and bwd_err < 0.25  # bf16-scale tolerances
+        ok &= good
+        print(f"# packed b={b} dim={dim} h={heads}: fwd_err={fwd_err:.3e} "
+              f"bwd_err={bwd_err:.3e} {'OK' if good else 'FAIL'}", file=sys.stderr)
+    hd = 64
+    q, k, v = (jax.device_put(rng.normal(size=(4, 6, 261, hd)).astype(np.float32))
+               .astype(jnp.bfloat16) for _ in range(3))
+    f_err = float(jnp.max(jnp.abs(
+        jax.jit(flash_attention)(q, k, v).astype(jnp.float32)
+        - jax.jit(_xla_sdpa)(q, k, v).astype(jnp.float32))))
+    good = f_err < 0.02
+    ok &= good
+    print(f"# unpacked fwd_err={f_err:.3e} {'OK' if good else 'FAIL'}", file=sys.stderr)
+    print(json.dumps({"metric": "pallas_kernel_check", "value": 1 if ok else 0,
+                      "unit": "pass", "vs_baseline": 1 if ok else 0}))
+    return 0 if ok else 1
+
+
 def main() -> int:
+    if "--check" in sys.argv:
+        return check_kernels()
     best = 0.0
     for bs in (128,):  # sweep showed bs128 > bs256 on one v5e chip
         try:

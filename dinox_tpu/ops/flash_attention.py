@@ -296,10 +296,109 @@ def _packed_fwd(qkv: jnp.ndarray, heads: int) -> jnp.ndarray:
     return out
 
 
+def _packed_bwd_dq_kernel(qkv_ref, do_ref, dq_ref, *, scale, group, heads, hd):
+    dim = heads * hd
+    for g in range(group):
+        for h in range(heads):
+            q = qkv_ref[g, :, h * hd:(h + 1) * hd]
+            k = qkv_ref[g, :, dim + h * hd:dim + (h + 1) * hd]
+            v = qkv_ref[g, :, 2 * dim + h * hd:2 * dim + (h + 1) * hd]
+            do = do_ref[g, :, h * hd:(h + 1) * hd]
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            e = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            dp = jax.lax.dot_general(
+                do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            dsb = (ds * scale).astype(q.dtype)
+            dq_ref[g, :, h * hd:(h + 1) * hd] = jnp.dot(
+                dsb, k, preferred_element_type=jnp.float32
+            ).astype(dq_ref.dtype)
+
+
+def _packed_bwd_dkv_kernel(qkv_ref, do_ref, dk_ref, dv_ref, *, scale, group, heads, hd):
+    dim = heads * hd
+    for g in range(group):
+        for h in range(heads):
+            q = qkv_ref[g, :, h * hd:(h + 1) * hd]
+            k = qkv_ref[g, :, dim + h * hd:dim + (h + 1) * hd]
+            v = qkv_ref[g, :, 2 * dim + h * hd:2 * dim + (h + 1) * hd]
+            do = do_ref[g, :, h * hd:(h + 1) * hd]
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            e = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            pb = p.astype(v.dtype)
+            dv_ref[g, :, h * hd:(h + 1) * hd] = jax.lax.dot_general(
+                pb, do, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dv_ref.dtype)
+            dp = jax.lax.dot_general(
+                do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            dsb = (ds * scale).astype(q.dtype)
+            dk_ref[g, :, h * hd:(h + 1) * hd] = jax.lax.dot_general(
+                dsb, q, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dk_ref.dtype)
+
+
+def _packed_bwd_split(qkv: jnp.ndarray, do: jnp.ndarray, heads: int) -> jnp.ndarray:
+    """Backward for dims whose single-kernel blocks overflow VMEM (ViT-Giant:
+    10.3 MB double-buffered + f32 scratch > 16 MB): two kernels — dq, then
+    dk+dv — each with a 1/3-size output block set. P is recomputed twice
+    (~30% extra attention FLOPs) to buy the VMEM headroom; still no XLA-side
+    transposes. One concatenate assembles dqkv."""
+    b, n, three_dim = qkv.shape
+    dim = three_dim // 3
+    hd = dim // heads
+    scale = 1.0 / (hd ** 0.5)
+    per_item = (three_dim + 2 * dim) * n * qkv.dtype.itemsize
+    group = _pick_group(b, per_item, budget=9 * 1024 * 1024)
+    spec_qkv = pl.BlockSpec((group, n, three_dim), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    spec_d = pl.BlockSpec((group, n, dim), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    shp = jax.ShapeDtypeStruct((b, n, dim), qkv.dtype)
+    interp = jax.default_backend() == "cpu"
+    cost = pl.CostEstimate(
+        flops=6 * b * heads * n * n * hd,
+        bytes_accessed=(three_dim + 2 * dim) * b * n * qkv.dtype.itemsize,
+        transcendentals=b * heads * n * n,
+    )
+    dq = pl.pallas_call(
+        functools.partial(_packed_bwd_dq_kernel, scale=scale, group=group,
+                          heads=heads, hd=hd),
+        grid=(b // group,), in_specs=[spec_qkv, spec_d], out_specs=spec_d,
+        out_shape=shp, cost_estimate=cost, interpret=interp,
+    )(qkv, do)
+    dk, dv = pl.pallas_call(
+        functools.partial(_packed_bwd_dkv_kernel, scale=scale, group=group,
+                          heads=heads, hd=hd),
+        grid=(b // group,), in_specs=[spec_qkv, spec_d], out_specs=(spec_d, spec_d),
+        out_shape=(shp, shp), cost_estimate=cost, interpret=interp,
+    )(qkv, do)
+    return jnp.concatenate([dq, dk, dv], axis=-1)
+
+
 def _packed_bwd(qkv: jnp.ndarray, do: jnp.ndarray, heads: int) -> jnp.ndarray:
     b, n, three_dim = qkv.shape
     dim = three_dim // 3
     hd = dim // heads
+    # Whole-row blocks don't fit VMEM at giant dims even ungrouped
+    # (ViT-G: 2*(2*4224+1408)*261*2B = 10.3 MB blocks + f32 scratch > 16 MB)
+    # -> split into dq and dk/dv kernels.
+    if 2 * (2 * three_dim + dim) * n * qkv.dtype.itemsize > 8 * 1024 * 1024:
+        return _packed_bwd_split(qkv, do, heads)
     # bwd keeps more f32 scratch alive (s/p/dp per unrolled head) -> bigger margin
     group = _pick_group(b, (2 * three_dim + dim) * n * qkv.dtype.itemsize,
                         budget=9 * 1024 * 1024)

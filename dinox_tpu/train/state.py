@@ -54,10 +54,12 @@ class TrainConfig:
     crop_scale_max: float = 1.0
     # Reproducibility
     train_seed: int = 0
-    # Adam first-moment dtype. "bfloat16" halves the largest optimizer buffer
-    # — needed to fit ViT-Giant (1.0B params: 4 f32 copies alone fill a 16 GB
-    # v5e) on one chip; f32 elsewhere keeps the update numerically standard.
+    # Adam moment dtypes. "bfloat16" halves the optimizer buffers — needed to
+    # fit ViT-Giant (≈1.0B params: student+teacher+mu+nu in f32 alone exceed a
+    # 16 GB v5e) on one chip; f32 keeps the update numerically standard.
+    # Moment math always runs in f32; only storage is cast.
     mu_dtype: str = "float32"
+    nu_dtype: str = "float32"
 
     @property
     def effective_batch_size(self) -> int:
@@ -95,10 +97,58 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 
         return get_lr_jnp(count, cfg.max_steps, cfg.warmup_steps, cfg.lr, cfg.min_lr)
 
-    return optax.adamw(
-        learning_rate=sched, b1=0.9, b2=0.999, eps=1e-8,
-        weight_decay=cfg.weight_decay, mu_dtype=jnp.dtype(cfg.mu_dtype),
+    if cfg.nu_dtype == "float32":
+        return optax.adamw(
+            learning_rate=sched, b1=0.9, b2=0.999, eps=1e-8,
+            weight_decay=cfg.weight_decay, mu_dtype=jnp.dtype(cfg.mu_dtype),
+        )
+    return optax.chain(
+        _scale_by_adam_lowp(
+            b1=0.9, b2=0.999, eps=1e-8,
+            mu_dtype=jnp.dtype(cfg.mu_dtype), nu_dtype=jnp.dtype(cfg.nu_dtype),
+        ),
+        optax.add_decayed_weights(cfg.weight_decay),
+        optax.scale_by_learning_rate(sched),
     )
+
+
+def _scale_by_adam_lowp(
+    b1: float, b2: float, eps: float, mu_dtype: jnp.dtype, nu_dtype: jnp.dtype
+) -> optax.GradientTransformation:
+    """optax.scale_by_adam with independently castable mu AND nu storage
+    (optax only exposes mu_dtype). Moment updates and the bias-corrected
+    step are computed in f32; only the carried state is low precision."""
+
+    def init(params):
+        return optax.ScaleByAdamState(
+            count=jnp.zeros((), jnp.int32),
+            mu=jax.tree_util.tree_map(lambda p: jnp.zeros_like(p, mu_dtype), params),
+            nu=jax.tree_util.tree_map(lambda p: jnp.zeros_like(p, nu_dtype), params),
+        )
+
+    def update(grads, state, params=None):
+        del params
+        count = state.count + 1
+        c1 = 1.0 - b1 ** count.astype(jnp.float32)
+        c2 = 1.0 - b2 ** count.astype(jnp.float32)
+
+        def upd(g, mu, nu):
+            g = g.astype(jnp.float32)
+            mu_f = b1 * mu.astype(jnp.float32) + (1.0 - b1) * g
+            nu_f = b2 * nu.astype(jnp.float32) + (1.0 - b2) * g * g
+            step = (mu_f / c1) / (jnp.sqrt(nu_f / c2) + eps)
+            return step, mu_f.astype(mu_dtype), nu_f.astype(nu_dtype)
+
+        flat = jax.tree_util.tree_map(upd, grads, state.mu, state.nu)
+        steps = jax.tree_util.tree_map(lambda t: t[0], flat,
+                                       is_leaf=lambda x: isinstance(x, tuple))
+        mu = jax.tree_util.tree_map(lambda t: t[1], flat,
+                                    is_leaf=lambda x: isinstance(x, tuple))
+        nu = jax.tree_util.tree_map(lambda t: t[2], flat,
+                                    is_leaf=lambda x: isinstance(x, tuple))
+        return steps, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
 
 
 def create_train_state(cfg: TrainConfig, rng: jax.Array) -> TrainState:

@@ -41,6 +41,7 @@ def main(argv=None) -> int:
     p.add_argument("--img-size", type=int, default=224)
     p.add_argument("--canvas", type=int, default=512)
     p.add_argument("--mu-dtype", default="float32")
+    p.add_argument("--nu-dtype", default="float32")
     p.add_argument("--attn-impl", default="pallas")
     args = p.parse_args(argv)
 
@@ -59,6 +60,7 @@ def main(argv=None) -> int:
         warmup_steps=100,
         max_steps=5000,
         mu_dtype=args.mu_dtype,
+        nu_dtype=args.nu_dtype,
     )
     print(f"{args.config}: ~{cfg.model.params_millions:.0f}M params, "
           f"bs={args.batch_size}x{args.accum}, remat=on, mu_dtype={args.mu_dtype}",

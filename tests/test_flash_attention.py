@@ -56,3 +56,47 @@ def test_long_seq_falls_back_to_xla():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(_xla_sdpa(q, k, v)), atol=1e-5
     )
+
+
+# -- packed-QKV layout-native kernel -----------------------------------------
+
+
+def test_packed_matches_xla_fwd_and_grad():
+    from dinox_tpu.ops.flash_attention import _xla_sdpa_packed, flash_attention_packed
+
+    rng = np.random.default_rng(0)
+    for b, n, dim, heads in [(4, 37, 96, 6), (2, 33, 176, 2)]:  # hd 16 and 88
+        qkv = jnp.asarray(rng.normal(size=(b, n, 3 * dim)).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(flash_attention_packed(qkv, heads)),
+            np.asarray(_xla_sdpa_packed(qkv, heads)), atol=1e-5,
+        )
+        g1 = jax.grad(lambda t: jnp.sum(jnp.sin(flash_attention_packed(t, heads))))(qkv)
+        g2 = jax.grad(lambda t: jnp.sum(jnp.sin(_xla_sdpa_packed(t, heads))))(qkv)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
+def test_packed_split_bwd_matches_xla():
+    """The large-dim backward (split dq and dk/dv kernels) is exercised
+    directly since the dispatch threshold only picks it at giant dims."""
+    from dinox_tpu.ops.flash_attention import _packed_bwd_split, _xla_sdpa_packed
+
+    rng = np.random.default_rng(1)
+    b, n, dim, heads = 2, 29, 96, 3
+    qkv = jnp.asarray(rng.normal(size=(b, n, 3 * dim)).astype(np.float32))
+    out = _xla_sdpa_packed(qkv, heads)
+    do = jnp.cos(out)
+    want = jax.grad(lambda t: jnp.sum(jnp.sin(_xla_sdpa_packed(t, heads))))(qkv)
+    got = _packed_bwd_split(qkv, do, heads)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_packed_long_seq_falls_back_to_xla():
+    from dinox_tpu.ops.flash_attention import _xla_sdpa_packed, flash_attention_packed
+
+    rng = np.random.default_rng(2)
+    qkv = jnp.asarray(rng.normal(size=(1, 1500, 3 * 32)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(flash_attention_packed(qkv, 2)),
+        np.asarray(_xla_sdpa_packed(qkv, 2)), atol=1e-5,
+    )

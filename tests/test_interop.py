@@ -198,6 +198,40 @@ def test_scale_aware_mismatch_tolerated(tmp_path, oracle):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_legacy_checkpoint_file_loads_end_to_end(tmp_path, oracle):
+    """A phase3-generation .pth (nn.MultiheadAttention / nn.Sequential key
+    names) saved by real torch.save loads through load_from_training_checkpoint
+    with key migration and produces the same features as the modern keys —
+    the file-level analog of the mapping test above. (phase3_micro_run itself
+    is deliberately not ported: only its checkpoints matter; see
+    docs/DECISIONS.md.)"""
+    modern = oracle.state_dict()
+    legacy = {}
+    for k, v in modern.items():
+        lk = (k.replace(".attn.qkv.weight", ".attn.in_proj_weight")
+               .replace(".attn.qkv.bias", ".attn.in_proj_bias")
+               .replace(".attn.proj.weight", ".attn.out_proj.weight")
+               .replace(".attn.proj.bias", ".attn.out_proj.bias")
+               .replace(".mlp.fc1.", ".mlp.0.").replace(".mlp.fc2.", ".mlp.2."))
+        legacy[f"backbone.{lk}"] = v
+    assert any(".in_proj_weight" in k for k in legacy)
+    payload = {"step": 100, "student": legacy, "config": {
+        "model": {"patch": 14, "dim": 32, "depth": 2, "heads": 2, "num_registers": 3},
+        "img_size": 28, "scale_aware": True}}
+    p = tmp_path / "legacy.pth"
+    torch.save(payload, p)
+    model = load_from_training_checkpoint(p)
+    x = np.random.default_rng(0).normal(size=(1, 3, 28, 28)).astype(np.float32)
+    spacing = np.asarray([[0.7, 0.7, 1.5]], np.float32)
+    with torch.no_grad():
+        want = oracle(torch.tensor(x), torch.tensor(spacing)).numpy()
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(model(jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(spacing)))
+    # hub models run bf16 compute; a wrong key mapping would produce O(1)
+    # garbage, not 1e-2-scale rounding
+    np.testing.assert_allclose(got, want, atol=5e-2)
+
+
 def test_scale_embed_width_mismatch_reinitialized(tmp_path, oracle):
     """A checkpoint whose scale_embed MLP was built at a different hidden
     width must load with scale_embed dropped + reinitialized, not crash
