@@ -121,13 +121,19 @@ def train(
     try:
         while step < max_steps and not stop.stop:
             batch = next(it)
-            pixels, spacing = np.asarray(batch.pixels), np.asarray(batch.spacing)
-            if pixels.ndim == 4:  # lift (B, H, W, 3) -> (1, B, H, W, 3)
-                pixels, spacing = pixels[None], spacing[None]
-            if mesh is not None:
-                from dinox_tpu.parallel.mesh import put_global_batch
+            pixels, spacing = batch.pixels, batch.spacing
+            if hasattr(pixels, "addressable_shards"):
+                # already device-resident (e.g. pre-staged synthetic batches):
+                # pulling it to host and back would cost a full H2D round trip
+                pass
+            else:
+                pixels, spacing = np.asarray(pixels), np.asarray(spacing)
+                if pixels.ndim == 4:  # lift (B, H, W, 3) -> (1, B, H, W, 3)
+                    pixels, spacing = pixels[None], spacing[None]
+                if mesh is not None:
+                    from dinox_tpu.parallel.mesh import put_global_batch
 
-                pixels, spacing = put_global_batch(mesh, (pixels, spacing))
+                    pixels, spacing = put_global_batch(mesh, (pixels, spacing))
 
             if step == profile_at and not profiling:
                 import jax

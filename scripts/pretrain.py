@@ -78,6 +78,9 @@ def parse_args(argv=None):
     p.add_argument("--diverse-batches", action="store_true")
     p.add_argument("--num-workers", type=int, default=8)
     p.add_argument("--canvas", type=int, default=512)
+    p.add_argument("--synthetic-device-batches", type=int, default=0,
+                   help="pre-stage this many synthetic batches ON DEVICE and "
+                        "cycle them (no per-step H2D; for long synthetic runs)")
     p.add_argument("--synthetic", action="store_true",
                    help="train on synthetic on-the-fly batches (smoke/bench)")
     # ops
@@ -117,6 +120,58 @@ class SyntheticBatches:
                 spacing=rng.uniform(0.4, 3.0, (self.accum, self.batch_size, 3)).astype(np.float32),
                 indices=np.arange(self.batch_size, dtype=np.int64),
             )
+            i += 1
+
+
+class DeviceSyntheticBatches:
+    """Pre-staged ON-DEVICE synthetic two-organ batches, cycled.
+
+    The dev tunnel moves ~27 MB/s host->device, so per-step host batches cap
+    training at a fraction of a step per second; long synthetic runs (the 5K
+    MVP ablation) generate their data on the chip instead. Samples mirror the
+    two-organ MVP's structure: smooth blob fields with organ-dependent
+    intensity stats and organ-CORRELATED spacing (organ A ~ thin-slice lung
+    CT, organ B ~ thick-slice abdomen), so scale awareness has real signal.
+    """
+
+    def __init__(self, n_batches, batch_size, accum, canvas, seed=0):
+        import jax
+        import jax.numpy as jnp
+
+        n = accum * batch_size
+
+        @jax.jit
+        def make(key):
+            k_org, k_low, k_sp1, k_sp2 = jax.random.split(key, 4)
+            organ = jax.random.bernoulli(k_org, 0.5, (n,))
+            low = jax.random.normal(k_low, (n, canvas // 16, canvas // 16, 3))
+            img = jax.image.resize(low, (n, canvas, canvas, 3), "linear")
+            # stored encoding: uint16 = HU + 32768 (SURVEY.md §2.4)
+            mean = jnp.where(organ, 32768.0 - 600.0, 32768.0 + 40.0)[:, None, None, None]
+            std = jnp.where(organ, 300.0, 120.0)[:, None, None, None]
+            pixels = jnp.clip(mean + img * std, 0.0, 65535.0).astype(jnp.uint16)
+            sp_a = jax.random.uniform(k_sp1, (n, 3),
+                                      minval=jnp.asarray([0.5, 0.5, 1.0]),
+                                      maxval=jnp.asarray([1.0, 1.0, 1.5]))
+            sp_b = jax.random.uniform(k_sp2, (n, 3),
+                                      minval=jnp.asarray([1.5, 1.5, 2.5]),
+                                      maxval=jnp.asarray([3.0, 3.0, 5.0]))
+            spacing = jnp.where(organ[:, None], sp_a, sp_b).astype(jnp.float32)
+            return (pixels.reshape(accum, batch_size, canvas, canvas, 3),
+                    spacing.reshape(accum, batch_size, 3))
+
+        base = jax.random.key(seed)
+        self._batches = [make(jax.random.fold_in(base, i)) for i in range(n_batches)]
+        for px, sp in self._batches:
+            px.block_until_ready()
+
+    def __iter__(self):
+        from dinox_tpu.data.pipeline import Batch
+
+        i = 0
+        while True:
+            px, sp = self._batches[i % len(self._batches)]
+            yield Batch(pixels=px, spacing=sp, indices=None)
             i += 1
 
 
@@ -205,7 +260,13 @@ def main(argv=None) -> int:
 
     # -- data ---------------------------------------------------------------
     loader = None
-    if args.synthetic:
+    if args.synthetic_device_batches > 0:
+        batches = DeviceSyntheticBatches(
+            args.synthetic_device_batches, args.batch_size,
+            args.accumulation_steps, args.canvas, args.seed,
+        )
+        loader_position = None
+    elif args.synthetic:
         batches = SyntheticBatches(
             args.batch_size, args.accumulation_steps, args.canvas, args.seed
         )
