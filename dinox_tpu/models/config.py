@@ -33,6 +33,10 @@ class ModelConfig:
     use_grad_checkpoint: bool = False
     # TPU-specific knobs (no reference analog / analog noted):
     attn_impl: str = "pallas"  # "pallas" | "xla"  (analog of --sdp-backend)
+    # Fused LN->fc1->GELU->fc2->residual Pallas kernel for the MLP half-block
+    # (ops/fused_mlp.py). Identical params/checkpoints; ignored when LoRA is
+    # active (adapters need the unfused Dense path).
+    fused_mlp: bool = False
     dtype: str = "bfloat16"  # compute dtype; params always float32
     # LoRA (first-class; reference wraps HF peft instead — zoo/peft.py)
     lora_rank: int = 0

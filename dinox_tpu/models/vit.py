@@ -148,6 +148,48 @@ class Mlp(nn.Module):
         )(x, deterministic=not train)
 
 
+class _LnParams(nn.Module):
+    """Declares LayerNorm params (scale/bias) at the SAME paths and inits as
+    nn.LayerNorm, without computing — the fused-kernel path consumes them
+    directly, so checkpoints are identical either way."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32),
+            self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32),
+        )
+
+
+class _DenseParams(nn.Module):
+    """LoraDense's kernel/bias params (same paths, same inits), no compute."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("kernel", xavier_uniform, (self.in_features, self.features),
+                       jnp.float32),
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32),
+        )
+
+
+class _MlpParams(nn.Module):
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            _DenseParams(self.dim, self.hidden, name="fc1")(),
+            _DenseParams(self.hidden, self.dim, name="fc2")(),
+        )
+
+
 class TransformerBlock(nn.Module):
     """Pre-norm transformer block (reference: zoo/arch.py:84-97)."""
 
@@ -157,6 +199,7 @@ class TransformerBlock(nn.Module):
     attn_impl: str = "xla"
     dtype: Dtype = jnp.float32
     lora: tuple = ()
+    fused_mlp: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -165,6 +208,14 @@ class TransformerBlock(nn.Module):
             self.dim, self.heads, attn_impl=self.attn_impl, dtype=self.dtype,
             lora=self.lora, name="attn",
         )(ln(name="norm1")(x), train=train)
+        if self.fused_mlp and not self.lora:
+            from dinox_tpu.ops.fused_mlp import fused_mlp_block
+
+            g, b = _LnParams(self.dim, name="norm2")()
+            (w1, b1), (w2, b2) = _MlpParams(
+                self.dim, int(self.dim * self.mlp_ratio), name="mlp"
+            )()
+            return fused_mlp_block(x, g, b, w1, b1, w2, b2)
         x = x + Mlp(self.dim, self.mlp_ratio, dtype=self.dtype, lora=self.lora, name="mlp")(
             ln(name="norm2")(x), train=train
         )
@@ -240,6 +291,7 @@ class PatchViT(nn.Module):
             TransformerBlock(
                 cfg.dim, cfg.heads, cfg.mlp_ratio,
                 attn_impl=cfg.attn_impl, dtype=dtype, lora=lora,
+                fused_mlp=cfg.fused_mlp,
             )
             for _ in range(cfg.depth)
         ]
