@@ -14,10 +14,13 @@ parameter.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh
 
 from dinox_tpu.models.config import ModelConfig
 from dinox_tpu.models.vit import Dtype, PatchViT, TransformerBlock, xavier_uniform
@@ -79,6 +82,7 @@ class MaeDecoder(nn.Module):
     mlp_ratio: float = 4.0
     attn_impl: str = "xla"
     dtype: Dtype = jnp.float32
+    mesh: Optional[Mesh] = None
 
     @nn.compact
     def __call__(self, latent: jnp.ndarray, ids_restore: jnp.ndarray) -> jnp.ndarray:
@@ -104,7 +108,8 @@ class MaeDecoder(nn.Module):
         for i in range(self.decoder_depth):
             x = TransformerBlock(
                 self.decoder_dim, self.decoder_heads, self.mlp_ratio,
-                attn_impl=self.attn_impl, dtype=self.dtype, name=f"blocks_{i}",
+                attn_impl=self.attn_impl, dtype=self.dtype, mesh=self.mesh,
+                name=f"blocks_{i}",
             )(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32,
                          name="decoder_norm")(x.astype(jnp.float32))
@@ -121,13 +126,14 @@ class MaeModel(nn.Module):
     cfg: ModelConfig
     decoder_dim: int = 512
     mask_ratio: float = 0.75
+    mesh: Optional[Mesh] = None
 
     def setup(self) -> None:
-        self.encoder = PatchViT(self.cfg, name="encoder")
+        self.encoder = PatchViT(self.cfg, mesh=self.mesh, name="encoder")
         self.decoder = MaeDecoder(
             self.cfg.dim, self.cfg.patch, self.cfg.n_patches,
             decoder_dim=self.decoder_dim, attn_impl=self.cfg.attn_impl,
-            dtype=jnp.dtype(self.cfg.dtype), name="decoder",
+            dtype=jnp.dtype(self.cfg.dtype), mesh=self.mesh, name="decoder",
         )
 
     def __call__(

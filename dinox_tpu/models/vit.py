@@ -34,11 +34,16 @@ from typing import Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh
 
 from dinox_tpu.models.config import ModelConfig
 from dinox_tpu.models.lora import LoraDense
 
 Dtype = jnp.dtype
+
+
+def _is_multidevice(mesh: Optional[Mesh]) -> bool:
+    return mesh is not None and any(s > 1 for s in mesh.shape.values())
 
 
 def _gelu(x: jnp.ndarray) -> jnp.ndarray:
@@ -89,6 +94,7 @@ class Attention(nn.Module):
     attn_impl: str = "xla"
     dtype: Dtype = jnp.float32
     lora: tuple = ()  # (rank, alpha, dropout, targets) or empty
+    mesh: Optional[Mesh] = None  # multi-device: shard_map the Pallas kernel
 
     def _lora_for(self, name: str) -> dict:
         if not self.lora or name not in self.lora[3]:
@@ -103,7 +109,15 @@ class Attention(nn.Module):
             3 * self.dim, dtype=self.dtype,
             kernel_init=xavier_uniform, name="qkv", **self._lora_for("qkv"),
         )(x, deterministic=not train)
-        if self.attn_impl == "pallas" and jax.default_backend() != "cpu":
+        if self.attn_impl == "pallas" and _is_multidevice(self.mesh):
+            # Multi-device: a bare pallas_call is opaque to GSPMD (it would
+            # all-gather and replicate), so the kernel is shard_map-ed —
+            # batch over `data`, heads over `model`. Runs on the CPU mesh too
+            # (interpret mode) so the TP path is testable without chips.
+            from dinox_tpu.ops.flash_attention import flash_attention_packed_sharded
+
+            out = flash_attention_packed_sharded(qkv, self.num_heads, self.mesh)
+        elif self.attn_impl == "pallas" and jax.default_backend() != "cpu":
             # Layout-native path: the kernel consumes the fused-QKV output and
             # emits the out-projection input directly — no (B,H,N,D) HBM
             # transposes (a round-2 trace showed them costing 22 GB/step).
@@ -200,13 +214,14 @@ class TransformerBlock(nn.Module):
     dtype: Dtype = jnp.float32
     lora: tuple = ()
     fused_mlp: bool = False
+    mesh: Optional[Mesh] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         ln = partial(nn.LayerNorm, epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32)
         x = x + Attention(
             self.dim, self.heads, attn_impl=self.attn_impl, dtype=self.dtype,
-            lora=self.lora, name="attn",
+            lora=self.lora, mesh=self.mesh, name="attn",
         )(ln(name="norm1")(x), train=train)
         if self.fused_mlp and not self.lora:
             from dinox_tpu.ops.fused_mlp import fused_mlp_block
@@ -257,6 +272,7 @@ class PatchViT(nn.Module):
     """
 
     cfg: ModelConfig
+    mesh: Optional[Mesh] = None
 
     def setup(self) -> None:
         cfg = self.cfg
@@ -291,7 +307,7 @@ class PatchViT(nn.Module):
             TransformerBlock(
                 cfg.dim, cfg.heads, cfg.mlp_ratio,
                 attn_impl=cfg.attn_impl, dtype=dtype, lora=lora,
-                fused_mlp=cfg.fused_mlp,
+                fused_mlp=cfg.fused_mlp, mesh=self.mesh,
             )
             for _ in range(cfg.depth)
         ]
@@ -373,9 +389,10 @@ class DinoStudentTeacher(nn.Module):
     """
 
     cfg: ModelConfig
+    mesh: Optional[Mesh] = None
 
     def setup(self) -> None:
-        self.backbone = PatchViT(self.cfg, name="backbone")
+        self.backbone = PatchViT(self.cfg, mesh=self.mesh, name="backbone")
         self.head = DinoHead(
             self.cfg.dim, self.cfg.out_dim, dtype=jnp.dtype(self.cfg.dtype), name="head"
         )

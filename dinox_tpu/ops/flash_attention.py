@@ -456,3 +456,57 @@ def _packed_bwd_rule(heads, qkv, g):
 
 flash_attention_packed.defvjp(_packed_fwd_rule, _packed_bwd_rule)
 
+
+def flash_attention_packed_sharded(
+    qkv: jnp.ndarray, heads: int, mesh
+) -> jnp.ndarray:
+    """Multi-device dispatch of the packed kernel via ``jax.shard_map``.
+
+    Under GSPMD a bare ``pallas_call`` is an opaque custom call — the
+    partitioner would all-gather its operands and run it replicated. This
+    wrapper makes the parallelism explicit instead: the batch is split over
+    the mesh's ``data`` axis and heads over the ``model`` axis, so each device
+    runs the unmodified single-device kernel on its local (B/dp, N, 3*dim/tp)
+    shard. Attention is embarrassingly parallel over both axes — no
+    collectives inside.
+
+    Head locality: the fused-QKV output (B, N, 3*dim) is column-sharded by
+    GSPMD in contiguous thirds-of-everything chunks that straddle the q/k/v
+    boundaries, so it is first reshaped to (B, N, 3, heads, hd) and sharded on
+    the *heads* axis (one reshard, inserted by XLA at the shard_map boundary).
+    The local (B_l, N, 3, h_local, hd) block then flattens — 3-major — back to
+    exactly the packed [q_l | k_l | v_l] layout the kernel consumes, and the
+    (B, N, dim) output comes back sharded on its last axis over ``model``,
+    which is precisely the layout the row-parallel out-projection contracts
+    (XLA adds the psum there, Megatron-style).
+    """
+    from dinox_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+    from jax.sharding import PartitionSpec as P
+
+    b, n, three_dim = qkv.shape
+    dim = three_dim // 3
+    hd = dim // heads
+    tp = mesh.shape.get(MODEL_AXIS, 1)
+    dp = mesh.shape.get(DATA_AXIS, 1)
+    if heads % tp:
+        raise ValueError(f"heads={heads} not divisible by model axis size {tp}")
+    if b % dp:
+        raise ValueError(f"batch={b} not divisible by data axis size {dp}")
+    h_local = heads // tp
+
+    def local(x):  # (B_l, N, 3, h_local, hd)
+        b_l = x.shape[0]
+        packed = x.reshape(b_l, n, 3 * h_local * hd)
+        return flash_attention_packed(packed, h_local)
+
+    out = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P(DATA_AXIS, None, None, MODEL_AXIS, None),
+        out_specs=P(DATA_AXIS, None, MODEL_AXIS),
+        # pallas_call's out_shape carries no varying-mesh-axes annotation;
+        # the body is per-shard with no collectives, so the check adds nothing.
+        check_vma=False,
+    )(qkv.reshape(b, n, 3, heads, hd))
+    return out
+

@@ -121,12 +121,14 @@ def build_train_step(
     medical HU pipeline; the CIFAR baseline passes its RGB TwoCrops analog.
     """
     mcfg = cfg.model.replace(img_size=cfg.img_size)
+    # The mesh reaches the model so Attention can shard_map the Pallas kernel
+    # across (data, model) axes; on a single device it changes nothing.
     if cfg.loss_type == "mae":
         from dinox_tpu.models.mae import MaeModel
 
-        model = MaeModel(mcfg, mask_ratio=cfg.mae_mask_ratio)
+        model = MaeModel(mcfg, mask_ratio=cfg.mae_mask_ratio, mesh=mesh)
     else:
-        model = DinoStudentTeacher(mcfg)
+        model = DinoStudentTeacher(mcfg, mesh=mesh)
     tx = make_optimizer(cfg)
     aug_cfg = cfg.aug
     base_key = jax.random.key(cfg.train_seed)

@@ -295,11 +295,10 @@ def main(argv=None) -> int:
         loader_position = lambda: loader.position  # noqa: E731
 
     # -- state / resume -----------------------------------------------------
-    if args.model_parallel > 1 and args.attn_impl == "pallas":
-        # The Pallas kernel isn't shard_map-wrapped for a split `model` axis
-        # yet; XLA attention partitions cleanly under GSPMD.
-        print("model_parallel>1: forcing --attn-impl xla", flush=True)
-        cfg = cfg.replace(model=cfg.model.replace(attn_impl="xla"))
+    # attn_impl="pallas" is multi-device-safe: Attention shard_maps the kernel
+    # over the (data, model) mesh (ops/flash_attention.py:
+    # flash_attention_packed_sharded), so model_parallel > 1 no longer forces
+    # the XLA fallback.
     mesh = make_mesh(model_parallel=args.model_parallel)
     state = create_train_state(cfg, jax.random.key(args.seed))
     state = jax.device_put(state, state_shardings(mesh, state))

@@ -168,6 +168,41 @@ def test_tensor_parallel_step_matches_replicated():
     assert qkv1.addressable_shards[0].data.shape[1] == qkv1.shape[1] // 2
 
 
+def test_pallas_attention_sharded_over_mesh():
+    """attn_impl="pallas" on multi-device meshes: the kernel is shard_map-ed
+    (batch over `data`, heads over `model`) instead of hitting GSPMD as an
+    opaque custom call. On the CPU mesh the kernel runs in interpret mode;
+    loss must match the replicated XLA step."""
+    from dinox_tpu.parallel.mesh import state_shardings
+
+    cfg = TINY.replace(model=TINY_MODEL.replace(attn_impl="pallas"))
+    px, sp = fake_batch(cfg)
+    state = create_train_state(cfg, jax.random.key(0))
+    _, m_ref = build_train_step(TINY, donate=False)(state, px, sp)
+
+    # data-parallel (8, 1)
+    mesh = make_mesh()
+    sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, "data"))
+    step_dp = build_train_step(cfg, mesh=mesh, donate=False)
+    _, m_dp = step_dp(
+        jax.device_put(state, replicated(mesh)),
+        jax.device_put(px, sh), jax.device_put(sp, sh),
+    )
+    assert float(m_dp["loss"]) == pytest.approx(float(m_ref["loss"]), rel=1e-4)
+
+    # tensor-parallel (4, 2): heads split over `model`
+    mesh_tp = make_mesh(model_parallel=2)
+    sh_tp = jax.sharding.NamedSharding(mesh_tp, jax.sharding.PartitionSpec(None, "data"))
+    step_tp = build_train_step(cfg, mesh=mesh_tp, donate=False)
+    state_tp, m_tp = step_tp(
+        jax.device_put(state, state_shardings(mesh_tp, state)),
+        jax.device_put(px, sh_tp), jax.device_put(sp, sh_tp),
+    )
+    assert float(m_tp["loss"]) == pytest.approx(float(m_ref["loss"]), rel=1e-4)
+    qkv1 = state_tp.student["backbone"]["blocks_0"]["attn"]["qkv"]["kernel"]
+    assert qkv1.addressable_shards[0].data.shape[1] == qkv1.shape[1] // 2
+
+
 def test_batch_sharding_layout():
     mesh = make_mesh()
     x = jnp.zeros((16, 4))
