@@ -170,15 +170,20 @@ def augment_views(
     return jnp.stack([per_view(v) for v in range(cfg.n_views)])
 
 
-@partial(jax.jit, static_argnames=("img_size",))
-def eval_transform(pixels: jnp.ndarray, img_size: int = 224) -> jnp.ndarray:
-    """Deterministic eval preprocessing: fixed L=40/W=400 deci-HU window,
-    bicubic short-side resize + center crop, normalize
+@partial(jax.jit, static_argnames=("img_size", "level", "width"))
+def eval_transform(
+    pixels: jnp.ndarray,
+    img_size: int = 224,
+    level: float = EVAL_LEVEL,
+    width: float = EVAL_WIDTH,
+) -> jnp.ndarray:
+    """Deterministic eval preprocessing: fixed deci-HU window (default
+    L=40/W=400), bicubic short-side resize + center crop, normalize
     (reference: zoo/data.py:242-252, 292-297).
 
     pixels: (B, H, W, 3) uint16 -> (B, S, S, 3) float32.
     """
-    x = decode_window(pixels, jnp.float32(EVAL_LEVEL), jnp.float32(EVAL_WIDTH))
+    x = decode_window(pixels, jnp.float32(level), jnp.float32(width))
     B, H, W, C = x.shape
     # Resize short side to img_size, then center-crop the long side.
     short = min(H, W)

@@ -105,12 +105,19 @@ def iter_labeled_batches(
         epoch += 1
 
 
-def finetune_train_aug(img_size: int) -> AugConfig:
-    """Fixed L=40/W=400 window + RandomResizedCrop(0.7-1.0) + flip, one view."""
+def finetune_train_aug(
+    img_size: int, level: float = EVAL_LEVEL, width: float = EVAL_WIDTH
+) -> AugConfig:
+    """Fixed HU window + RandomResizedCrop(0.7-1.0) + flip, one view.
+
+    The window is configurable in scaled deci-HU units (reference
+    scripts/finetune_lora.py window args; the LIDC malignancy benchmark uses
+    the lung window level=-30 width=120, docs/EXPERIMENTS.md:307). Defaults
+    to the L=40/W=400 soft-tissue eval window."""
     return AugConfig(
         img_size=img_size,
-        level_min=EVAL_LEVEL, level_max=EVAL_LEVEL,
-        width_min=EVAL_WIDTH, width_max=EVAL_WIDTH,
+        level_min=level, level_max=level,
+        width_min=width, width_max=width,
         crop_scale_min=0.7, crop_scale_max=1.0,
         n_views=1,
     )
@@ -136,6 +143,8 @@ class FinetuneConfig:
     seed: int = 0
     es_metric: str = "loss"  # loss | accuracy | auroc | macro_f1 | r2
     es_patience: int = 5
+    window_level: float = EVAL_LEVEL  # scaled deci-HU (lung: -30)
+    window_width: float = EVAL_WIDTH  # scaled deci-HU (lung: 120)
 
 
 def init_head(cfg: FinetuneConfig, dim: int, rng: jax.Array) -> dict:
@@ -194,7 +203,7 @@ def build_finetune_step(model: LoraModel, cfg: FinetuneConfig, tx):
     from dinox_tpu.models.vit import PatchViT
 
     module = PatchViT(model.cfg)
-    aug = finetune_train_aug(model.cfg.img_size)
+    aug = finetune_train_aug(model.cfg.img_size, cfg.window_level, cfg.window_width)
     scale_aware = model.cfg.scale_aware
     base_key = jax.random.key(cfg.seed)
 
@@ -224,7 +233,10 @@ def build_finetune_step(model: LoraModel, cfg: FinetuneConfig, tx):
 
     @jax.jit
     def predict_fn(params, pixels, spacing):
-        x = eval_transform(pixels, img_size=model.cfg.img_size)
+        x = eval_transform(
+            pixels, img_size=model.cfg.img_size,
+            level=cfg.window_level, width=cfg.window_width,
+        )
         sp = spacing if scale_aware else None
         feats = module.apply({"params": params["backbone"]}, x, sp)
         return feats[:, 0].astype(jnp.float32) @ params["head"]["kernel"] + params["head"]["bias"]

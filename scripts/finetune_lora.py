@@ -51,6 +51,10 @@ def parse_args(argv=None):
     p.add_argument("--es-metric", default="loss",
                    choices=["loss", "accuracy", "auroc", "macro_f1", "r2", "mse"])
     p.add_argument("--es-patience", type=int, default=5)
+    p.add_argument("--window-level", type=float, default=40.0,
+                   help="HU window level in scaled deci-HU (lung: -30)")
+    p.add_argument("--window-width", type=float, default=400.0,
+                   help="HU window width in scaled deci-HU (lung: 120)")
     return p.parse_args(argv)
 
 
@@ -88,6 +92,7 @@ def main(argv=None) -> int:
         total_steps=steps_per_epoch * args.epochs, unfreeze_blocks=args.unfreeze_blocks,
         batch_size=args.batch_size, seed=args.seed,
         es_metric=args.es_metric, es_patience=args.es_patience,
+        window_level=args.window_level, window_width=args.window_width,
     )
 
     lora = apply_lora(base, rank=cfg.rank, alpha=cfg.alpha, dropout=cfg.lora_dropout)

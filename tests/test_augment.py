@@ -90,6 +90,25 @@ def test_eval_transform_nonsquare_center_crop():
     assert out.shape == (1, 32, 32, 3)
 
 
+def test_eval_transform_custom_window():
+    """The lung window (level=-30, width=120 deci-HU, reference
+    docs/EXPERIMENTS.md:307) must change the decoded intensities: a pixel at
+    deci-HU -30 is mid-window under the lung window but near-black under the
+    default L=40/W=400 soft-tissue window."""
+    # stored uint16 = HU + 32768; readers decode deci-HU = (u16 - 32768) * 0.1,
+    # so deci-HU -30 is stored as HU -300.
+    pixels = jnp.asarray(np.full((1, 32, 32, 3), 32768 - 300), jnp.uint16)
+    lung = np.asarray(eval_transform(pixels, img_size=32, level=-30.0, width=120.0))
+    soft = np.asarray(eval_transform(pixels, img_size=32))
+    assert not np.allclose(lung, soft)
+    # a pixel at its window's level is mid-window (0.5 pre-normalization)
+    # regardless of which window was chosen
+    mid = np.asarray(eval_transform(pixels, img_size=32, level=-30.0, width=2.0))
+    np.testing.assert_allclose(mid, np.asarray(eval_transform(
+        jnp.asarray(np.full((1, 32, 32, 3), 32768 + 400), jnp.uint16), img_size=32,
+        level=40.0, width=2.0)), atol=1e-4)
+
+
 def test_normalize_golden():
     x = jnp.zeros((2, 2, 3))
     out = np.asarray(normalize_imagenet(x))
