@@ -81,6 +81,10 @@ def parse_args(argv=None):
     p.add_argument("--synthetic-device-batches", type=int, default=0,
                    help="pre-stage this many synthetic batches ON DEVICE and "
                         "cycle them (no per-step H2D; for long synthetic runs)")
+    p.add_argument("--synthetic-datasets", type=int, default=2,
+                   help="number of synthetic dataset profiles for "
+                        "--synthetic-device-batches (2=two-organ MVP, "
+                        "up to 5 CT-catalog-like profiles)")
     p.add_argument("--synthetic", action="store_true",
                    help="train on synthetic on-the-fly batches (smoke/bench)")
     # ops
@@ -123,25 +127,45 @@ class SyntheticBatches:
             i += 1
 
 
+# Per-dataset generation profiles for the multi-dataset synthetic mode:
+# (mean_HU, std_HU, spacing_min[3], spacing_max[3], fine_mix) chosen to echo
+# the five CT catalog entries (thin-slice lung, abdomen, head, low-dose
+# chest, colon) — distinct intensity stats, dataset-CORRELATED spacing, and
+# distinct texture scale (fine_mix blends coarse vs fine blob fields), so
+# domain clustering / dataset discrimination / scale awareness all have
+# signal, like the on-disk generator in preprocessing/make_synthetic_data.py.
+SYNTH_DATASET_PROFILES = [
+    # mean,  std, sp_min,            sp_max,            fine_mix
+    (-600.0, 300.0, (0.50, 0.50, 1.0), (1.00, 1.00, 1.5), 0.80),  # lung-like
+    (+40.0, 120.0, (0.60, 0.60, 2.5), (0.90, 0.90, 5.0), 0.35),  # abdomen
+    (+200.0, 500.0, (0.40, 0.40, 4.0), (0.50, 0.50, 6.0), 0.15),  # head
+    (-500.0, 350.0, (0.60, 0.60, 1.0), (0.80, 0.80, 3.0), 0.60),  # low-dose chest
+    (0.0, 150.0, (0.70, 0.70, 3.0), (1.00, 1.00, 5.0), 0.45),  # colon
+]
+# Temperature-style (T=2) sampling weights over descending dataset sizes.
+SYNTH_DATASET_WEIGHTS = [0.36, 0.22, 0.18, 0.14, 0.10]
+
+
 class DeviceSyntheticBatches:
-    """Pre-staged ON-DEVICE synthetic two-organ batches, cycled.
+    """Pre-staged ON-DEVICE synthetic batches, cycled.
 
     The dev tunnel moves ~27 MB/s host->device, so per-step host batches cap
     training at a fraction of a step per second; long synthetic runs (the 5K
-    MVP ablation) generate their data on the chip instead. Samples mirror the
-    two-organ MVP's structure: smooth blob fields with organ-dependent
-    intensity stats and organ-CORRELATED spacing (organ A ~ thin-slice lung
-    CT, organ B ~ thick-slice abdomen), so scale awareness has real signal.
+    MVP ablation, the 50K five-dataset run) generate their data on the chip
+    instead. n_datasets=2 keeps the original two-organ MVP generator
+    bit-for-bit (organ A ~ thin-slice lung CT, organ B ~ thick-slice
+    abdomen); n_datasets>2 samples SYNTH_DATASET_PROFILES with
+    temperature-style weights.
     """
 
-    def __init__(self, n_batches, batch_size, accum, canvas, seed=0):
+    def __init__(self, n_batches, batch_size, accum, canvas, seed=0, n_datasets=2):
         import jax
         import jax.numpy as jnp
 
         n = accum * batch_size
 
         @jax.jit
-        def make(key):
+        def make_two_organ(key):
             k_org, k_low, k_sp1, k_sp2 = jax.random.split(key, 4)
             organ = jax.random.bernoulli(k_org, 0.5, (n,))
             low = jax.random.normal(k_low, (n, canvas // 16, canvas // 16, 3))
@@ -160,6 +184,36 @@ class DeviceSyntheticBatches:
             return (pixels.reshape(accum, batch_size, canvas, canvas, 3),
                     spacing.reshape(accum, batch_size, 3))
 
+        prof = SYNTH_DATASET_PROFILES[:n_datasets]
+        mean_t = jnp.asarray([32768.0 + m for m, *_ in prof])
+        std_t = jnp.asarray([s for _, s, *_ in prof])
+        sp_min_t = jnp.asarray([p[2] for p in prof])
+        sp_max_t = jnp.asarray([p[3] for p in prof])
+        mix_t = jnp.asarray([p[4] for p in prof])
+        w = np.asarray(SYNTH_DATASET_WEIGHTS[:n_datasets])
+        weights = jnp.asarray(w / w.sum())
+
+        @jax.jit
+        def make_multi(key):
+            k_ds, k_coarse, k_fine, k_sp = jax.random.split(key, 4)
+            ds = jax.random.choice(k_ds, n_datasets, (n,), p=weights)
+            coarse = jax.image.resize(
+                jax.random.normal(k_coarse, (n, canvas // 32, canvas // 32, 3)),
+                (n, canvas, canvas, 3), "linear")
+            fine = jax.image.resize(
+                jax.random.normal(k_fine, (n, canvas // 8, canvas // 8, 3)),
+                (n, canvas, canvas, 3), "linear")
+            mix = mix_t[ds][:, None, None, None]
+            img = (1.0 - mix) * coarse + mix * fine
+            mean = mean_t[ds][:, None, None, None]
+            std = std_t[ds][:, None, None, None]
+            pixels = jnp.clip(mean + img * std, 0.0, 65535.0).astype(jnp.uint16)
+            u = jax.random.uniform(k_sp, (n, 3))
+            spacing = (sp_min_t[ds] + u * (sp_max_t[ds] - sp_min_t[ds])).astype(jnp.float32)
+            return (pixels.reshape(accum, batch_size, canvas, canvas, 3),
+                    spacing.reshape(accum, batch_size, 3))
+
+        make = make_two_organ if n_datasets == 2 else make_multi
         base = jax.random.key(seed)
         self._batches = [make(jax.random.fold_in(base, i)) for i in range(n_batches)]
         for px, sp in self._batches:
@@ -264,6 +318,7 @@ def main(argv=None) -> int:
         batches = DeviceSyntheticBatches(
             args.synthetic_device_batches, args.batch_size,
             args.accumulation_steps, args.canvas, args.seed,
+            n_datasets=args.synthetic_datasets,
         )
         loader_position = None
     elif args.synthetic:

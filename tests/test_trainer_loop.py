@@ -107,3 +107,59 @@ def test_hardware_detection():
     hw = detect_hardware()
     assert hw.backend == "cpu"  # conftest forces cpu
     assert hw.num_devices == 8 and hw.batch_size_recommendation > 0
+
+
+def _load_pretrain_module():
+    import importlib.util
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parent.parent / "scripts" / "pretrain.py"
+    spec = importlib.util.spec_from_file_location("pretrain_cli", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_device_synthetic_batches_multi_dataset():
+    """The 5-profile generator yields dataset-correlated stats: the spacing
+    distribution must span the thin-slice (z<=1.5) and thick-slice (z>=2.5)
+    profiles, and per-sample HU means must form multiple intensity modes."""
+    mod = _load_pretrain_module()
+    gen = mod.DeviceSyntheticBatches(
+        n_batches=2, batch_size=32, accum=1, canvas=32, seed=3, n_datasets=5
+    )
+    it = iter(gen)
+    batch = next(it)
+    assert batch.pixels.shape == (1, 32, 32, 32, 3)
+    assert batch.pixels.dtype == jnp.uint16
+    assert batch.spacing.shape == (1, 32, 3)
+
+    sp_z = np.asarray(batch.spacing)[0, :, 2]
+    assert (sp_z <= 1.6).any() and (sp_z >= 2.4).any()
+
+    # per-sample mean HU (decoded) separates the lung-like (-600) and
+    # soft-tissue (~0..+200) profiles
+    hu = np.asarray(batch.pixels[0], np.float32) - 32768.0
+    means = hu.mean(axis=(1, 2, 3))
+    assert means.min() < -300 and means.max() > -150
+
+    # deterministic under the same seed
+    gen2 = mod.DeviceSyntheticBatches(
+        n_batches=2, batch_size=32, accum=1, canvas=32, seed=3, n_datasets=5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(batch.pixels), np.asarray(next(iter(gen2)).pixels)
+    )
+
+
+def test_device_synthetic_batches_two_organ_unchanged():
+    """n_datasets=2 must keep the original two-organ generator bit-for-bit
+    (the 5K MVP ablation's data path)."""
+    mod = _load_pretrain_module()
+    gen = mod.DeviceSyntheticBatches(
+        n_batches=1, batch_size=8, accum=1, canvas=32, seed=0
+    )
+    px = np.asarray(next(iter(gen)).pixels)
+    hu_means = px[0].astype(np.float32).mean(axis=(1, 2, 3)) - 32768.0
+    # two organ modes: lung-like (~-600) and abdomen (~+40)
+    assert ((hu_means < -300) | (hu_means > -150)).all()
