@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Inference / serving throughput benchmark.
+
+The serving path is ``zoo.encode.encode_batch`` (the reference's inference
+API, reference zoo/encode.py:182-227, re-architected as truly batched device
+forwards). This bench times the jitted embed forward (window -> resize ->
+normalize -> ViT -> CLS) on device-resident inputs across batch sizes and
+reports the best img/s — the number a serving deployment planning capacity
+actually needs. Host-side preprocessing is benched separately since on this
+dev setup the ~27 MB/s tunnel dominates any H2D feeding (docs/PROFILING.md).
+
+Usage: python scripts/bench_inference.py [--config vit-small] [--steps 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from dinox_tpu.utils.platform import enable_compilation_cache, respect_jax_platforms_env
+
+respect_jax_platforms_env()
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="vit-small",
+                   choices=["vit-tiny", "vit-small", "vit-large", "vit-giant"])
+    p.add_argument("--batch-sizes", type=int, nargs="+", default=[64, 128, 256, 512])
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--img-size", type=int, default=224)
+    p.add_argument("--attn-impl", default="pallas")
+    args = p.parse_args(argv)
+
+    from dinox_tpu.models.config import MODEL_CONFIGS
+    from dinox_tpu.models.vit import PatchViT
+
+    cfg = MODEL_CONFIGS[args.config].replace(
+        scale_aware=True, attn_impl=args.attn_impl, img_size=args.img_size,
+    )
+    module = PatchViT(cfg)
+    rng = np.random.default_rng(0)
+    params = module.init(
+        jax.random.key(0),
+        jnp.zeros((1, args.img_size, args.img_size, 3), jnp.float32),
+        jnp.ones((1, 3), jnp.float32),
+    )["params"]
+
+    def embed(params, x, spacing):
+        feats = module.apply({"params": params}, x, spacing)
+        cls = feats[:, 0, :]
+        return cls / jnp.maximum(
+            jnp.linalg.norm(cls, axis=-1, keepdims=True), 1e-12
+        )
+
+    # block_until_ready under-reports over the axon tunnel (docs/PROFILING.md)
+    # -> time ONE jitted fori_loop of `steps` forwards with a carried checksum
+    # and a real host fetch at the end. The per-iteration input perturbation
+    # stops XLA hoisting the loop-invariant forward out of the loop.
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=3)
+    def embed_loop(params, x, spacing, steps):
+        def body(i, acc):
+            cls = embed(params, x * (1.0 + i.astype(jnp.float32) * 1e-6), spacing)
+            return acc + cls.sum(dtype=jnp.float32)
+
+        return jax.lax.fori_loop(0, steps, body, jnp.float32(0.0))
+
+    results = []
+    for bs in args.batch_sizes:
+        x = jax.device_put(
+            rng.normal(0.0, 1.0, (bs, args.img_size, args.img_size, 3)).astype(np.float32)
+        )
+        sp = jax.device_put(rng.uniform(0.4, 3.0, (bs, 3)).astype(np.float32))
+        try:
+            checksum = float(embed_loop(params, x, sp, args.steps))  # compile+run
+            assert np.isfinite(checksum), checksum
+            t0 = time.perf_counter()
+            checksum = float(embed_loop(params, x, sp, args.steps))
+            dt = (time.perf_counter() - t0) / args.steps
+        except Exception as e:  # OOM at large bs: record and continue
+            print(f"bs={bs}: {type(e).__name__}", flush=True)
+            continue
+        img_s = bs / dt
+        results.append({"batch_size": bs, "img_per_sec": round(img_s, 1),
+                        "latency_ms": round(dt * 1000, 2)})
+        print(f"bs={bs}: {img_s:.0f} img/s, {dt * 1000:.2f} ms/batch", flush=True)
+
+    if not results:
+        print("no successful batch size", file=sys.stderr)
+        return 1
+    best = max(results, key=lambda r: r["img_per_sec"])
+    print(json.dumps({
+        "metric": f"{args.config.replace('-', '_')}_encode_img_per_sec",
+        "value": best["img_per_sec"],
+        "unit": "img/s",
+        "batch_size": best["batch_size"],
+        "all": results,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
