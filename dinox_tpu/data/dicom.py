@@ -190,7 +190,8 @@ def write_dicom(
 
     def elem(tag, vr: bytes, value: bytes) -> bytes:
         if len(value) % 2:
-            value += b"\x00" if vr != b"UI" else b"\x00"
+            # UI and binary VRs pad with NUL; text VRs pad with space
+            value += b"\x00" if vr in (b"UI", b"OB", b"OW", b"UN") else b" "
         head = struct.pack("<HH", *tag) + vr
         if vr in _LONG_VRS:
             return head + b"\x00\x00" + struct.pack("<I", len(value)) + value

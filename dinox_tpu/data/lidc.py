@@ -54,7 +54,13 @@ class NoduleConsensus:
     annotations: list[RawAnnotation] = field(default_factory=list)
 
     def label(self, threshold: float = 3.0) -> int:
-        return 1 if self.avg_malignancy >= threshold else 0
+        return 1 if self.avg_malignancy > threshold else 0
+
+    def is_indeterminate(self, threshold: float = 3.0) -> bool:
+        """Exactly-at-threshold consensus (the classic malignancy==3 case) is
+        indeterminate and must be dropped, matching the consensus-CSV path and
+        standard LIDC binarization."""
+        return self.avg_malignancy == threshold
 
 
 class _UnionFind:

@@ -181,8 +181,15 @@ class TrainLoader:
         return batched(shard, self.batch_size, drop_last=True)
 
     def _assemble(self, idxs: np.ndarray, epoch: int) -> Batch:
-        rng = np.random.default_rng(np.random.SeedSequence([self.seed, epoch, int(idxs[0])]))
-        results = list(self._pool.map(lambda i: self.source.get(int(i), rng), idxs))
+        # One Generator per slot: np.random.Generator is not thread-safe, and
+        # the pool workers would otherwise share one through the retry path.
+        # Deterministic per (seed, epoch, row): retry substitutes don't depend
+        # on thread scheduling.
+        def load(i):
+            rng = np.random.default_rng(np.random.SeedSequence([self.seed, epoch, int(i)]))
+            return self.source.get(int(i), rng)
+
+        results = list(self._pool.map(load, idxs))
         pixels = np.stack([r[0] for r in results])
         spacing = np.stack([r[1] for r in results])
         actual = np.asarray([r[2] for r in results], np.int64)
@@ -193,6 +200,18 @@ class TrainLoader:
         stop = threading.Event()
         self._stop = stop
 
+        def put_or_stop(item: Batch) -> bool:
+            # Bounded put that stays responsive to `stop`: a plain q.put()
+            # would block forever once the consumer goes away with the
+            # queue full, leaking the producer thread and its batches.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer() -> None:
             epoch, offset = self.epoch, self.batch_in_epoch
             while not stop.is_set():
@@ -202,8 +221,8 @@ class TrainLoader:
                         continue
                     if stop.is_set():
                         return
-                    item = self._assemble(idxs, epoch)
-                    q.put(item)
+                    if not put_or_stop(self._assemble(idxs, epoch)):
+                        return
                 offset = 0
                 epoch += 1
 

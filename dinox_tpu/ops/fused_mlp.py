@@ -227,11 +227,11 @@ def fused_mlp_block(x, gamma, beta, w1, b1, w2, b2):
 
 
 def _vjp_fwd(x, gamma, beta, w1, b1, w2, b2):
-    return fused_mlp_block(x, gamma, beta, w1, b1, w2, b2), (x, gamma, beta, w1, b1, w2)
+    return fused_mlp_block(x, gamma, beta, w1, b1, w2, b2), (x, gamma, beta, w1, b1, w2, b2)
 
 
 def _vjp_bwd(res, dy):
-    x, gamma, beta, w1, b1, w2 = res
+    x, gamma, beta, w1, b1, w2, b2 = res
     b, n, c = x.shape
     dx2, dg, db, dw1, db1, dw2, db2 = _bwd(
         x.reshape(b * n, c),
@@ -243,7 +243,7 @@ def _vjp_bwd(res, dy):
     return (dx2.reshape(b, n, c),
             dg.reshape(c).astype(gamma.dtype), db.reshape(c).astype(beta.dtype),
             dw1.astype(w1.dtype), db1.reshape(-1).astype(b1.dtype),
-            dw2.astype(w2.dtype), db2.reshape(c).astype(b1.dtype))
+            dw2.astype(w2.dtype), db2.reshape(c).astype(b2.dtype))
 
 
 fused_mlp_block.defvjp(_vjp_fwd, _vjp_bwd)

@@ -8,8 +8,9 @@ config change, not a rewrite). Gradients are allreduced implicitly by XLA
 over ICI when the loss is computed from a data-sharded batch.
 
 Multi-host: call :func:`init_distributed` before any other JAX call; each
-host then feeds its own shard of the global batch (see
-dinox_tpu.data.index.shard_rows) and `jax.make_array_from_process_local_data`
+host then feeds its own shard of the global batch (TrainLoader's
+host_id/num_hosts order sharding, which keeps the full row set so 2.5D
+neighbor lookup is intact) and `jax.make_array_from_process_local_data`
 assembles the global array.
 """
 
@@ -112,8 +113,9 @@ def put_global_batch(mesh: Mesh, tree, spec: P = P(None, DATA_AXIS)):
     Single-process this is a device_put; under ``jax.process_count() > 1``
     each host's arrays become its shard of the global batch
     (``jax.make_array_from_process_local_data``), so the per-host loaders'
-    disjoint index shards (data.index.shard_rows) compose into one global
-    batch instead of every host treating its local batch as the world.
+    disjoint epoch-order shards (TrainLoader host_id/num_hosts) compose into
+    one global batch instead of every host treating its local batch as the
+    world.
     """
     sharding = NamedSharding(mesh, spec)
     if jax.process_count() == 1:

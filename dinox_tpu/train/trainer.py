@@ -95,22 +95,32 @@ def train(
         nonlocal t_last, n_since, last_saved
         if not pending:
             return
-        for i, (s, m) in enumerate(pending):
-            host = {k: float(v) for k, v in m.items()}
-            is_last = i == len(pending) - 1
-            if is_last:
-                now = time.monotonic()  # after the device sync above
-                host["samples_per_s"] = n_since / max(now - t_last, 1e-9)
-                t_last, n_since = now, 0
-            logger.log(s, host, force_stdout=is_last)
-            severity, msg = detector.check(host["loss"], host.get("embed_std", 1.0))
-            if severity == "fatal":
-                ckpt.emergency_save(s, state, msg)
-                last_saved = step  # the finally-save must not collide
-                raise FloatingPointError(f"training anomaly at step {s}: {msg}")
-            if severity == "warn":
-                print(f"anomaly_warn step={s} {msg}", flush=True)
-        pending.clear()
+        try:
+            for i, (s, m) in enumerate(pending):
+                host = {k: float(v) for k, v in m.items()}
+                is_last = i == len(pending) - 1
+                if is_last:
+                    now = time.monotonic()  # after the device sync above
+                    host["samples_per_s"] = n_since / max(now - t_last, 1e-9)
+                    t_last, n_since = now, 0
+                logger.log(s, host, force_stdout=is_last)
+                severity, msg = detector.check(host["loss"], host.get("embed_std", 1.0))
+                if severity == "fatal":
+                    # The live state is at `step`, not at the buffered anomaly
+                    # step s — save it under its own step so a later resume is
+                    # self-consistent (no silent step replay); the message
+                    # records where the anomaly was detected.
+                    ckpt.emergency_save(
+                        step, state, f"{msg} (detected at step {s})"
+                    )
+                    last_saved = step  # the finally-save must not collide
+                    raise FloatingPointError(f"training anomaly at step {s}: {msg}")
+                if severity == "warn":
+                    print(f"anomaly_warn step={s} {msg}", flush=True)
+        finally:
+            # Clear even on raise: the finally-block's drain must not replay
+            # the same buffer (duplicate logs + a second emergency save).
+            pending.clear()
 
     # jax.profiler trace window: [start_step+profile_start, +profile_steps),
     # skipping the compile step — the TPU analog of the reference tuner's

@@ -36,8 +36,8 @@ def _allocate_quotas(total: int, weights: list[float]) -> list[int]:
     """Integer per-dataset targets summing exactly to *total*: floor each
     share (min 1), then hand out a positive remainder largest-weight-first, or
     — when the min-1 floors overshoot (many tiny-weight datasets) — claw back
-    the excess smallest-weight-first keeping every quota >= 1
-    (reference: zoo/merge.py:160-173)."""
+    the excess smallest-weight-first, keeping every quota >= 1 unless
+    total < len(weights) forces some to 0 (reference: zoo/merge.py:160-173)."""
     quotas = [max(1, int(total * w)) for w in weights]
     leftover = total - sum(quotas)
     if leftover > 0:
@@ -47,10 +47,16 @@ def _allocate_quotas(total: int, weights: list[float]) -> list[int]:
             quotas[i] += 1
             leftover -= 1
     elif leftover < 0:
-        for i in sorted(range(len(weights)), key=lambda j: weights[j]):
-            while leftover < 0 and quotas[i] > 1:
-                quotas[i] -= 1
-                leftover += 1
+        # Claw back smallest-weight-first, keeping every quota >= 1 while
+        # possible; when total < number of datasets the floors themselves
+        # overshoot, so a second pass drops smallest-weight quotas to 0 to
+        # honor the caller's slice budget.
+        order = sorted(range(len(weights)), key=lambda j: weights[j])
+        for floor in (1, 0):
+            for i in order:
+                while leftover < 0 and quotas[i] > floor:
+                    quotas[i] -= 1
+                    leftover += 1
             if leftover >= 0:
                 break
     return quotas

@@ -85,13 +85,13 @@ def main(argv=None) -> int:
         sp = jax.device_put(rng.uniform(0.4, 3.0, (bs, 3)).astype(np.float32))
         try:
             checksum = float(embed_loop(params, x, sp, args.steps))  # compile+run
-            assert np.isfinite(checksum), checksum
-            t0 = time.perf_counter()
-            checksum = float(embed_loop(params, x, sp, args.steps))
-            dt = (time.perf_counter() - t0) / args.steps
-        except Exception as e:  # OOM at large bs: record and continue
-            print(f"bs={bs}: {type(e).__name__}", flush=True)
+        except jax.errors.JaxRuntimeError as e:  # OOM at large bs: record, continue
+            print(f"bs={bs}: {type(e).__name__}: {str(e)[:120]}", flush=True)
             continue
+        assert np.isfinite(checksum), f"non-finite embed checksum at bs={bs}: {checksum}"
+        t0 = time.perf_counter()
+        checksum = float(embed_loop(params, x, sp, args.steps))
+        dt = (time.perf_counter() - t0) / args.steps
         img_s = bs / dt
         results.append({"batch_size": bs, "img_per_sec": round(img_s, 1),
                         "latency_ms": round(dt * 1000, 2)})

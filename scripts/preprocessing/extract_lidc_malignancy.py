@@ -191,10 +191,16 @@ def main(argv=None) -> int:
     samples: list[dict] = []
     args.out.mkdir(parents=True, exist_ok=True)
     skipped = 0
+    indeterminate = 0
     for i, nod in enumerate(nodules):
         row = smap.by_series.get(nod.series_dir, {}).get(nod.slice_index)
         if row is None:
             skipped += 1
+            continue
+        if nod.is_indeterminate(args.threshold):
+            # consensus exactly at threshold (malignancy==3): dropped, same
+            # as the consensus-CSV path above
+            indeterminate += 1
             continue
         if args.whole_slice:
             image_path = row.png_path
@@ -216,6 +222,9 @@ def main(argv=None) -> int:
         ))
     if skipped:
         print(f"skipped {skipped} nodules without a matching index slice", flush=True)
+    if indeterminate:
+        print(f"dropped {indeterminate} indeterminate nodules (consensus == threshold)",
+              flush=True)
     if not samples:
         print("no nodules matched the index", file=sys.stderr)
         return 1

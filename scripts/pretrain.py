@@ -197,17 +197,22 @@ class DeviceSyntheticBatches:
         def make_multi(key):
             k_ds, k_coarse, k_fine, k_sp = jax.random.split(key, 4)
             ds = jax.random.choice(k_ds, n_datasets, (n,), p=weights)
+            # bf16 fields halve the transient HBM footprint during staging
+            # (the resident staged batches already take most of the chip)
             coarse = jax.image.resize(
-                jax.random.normal(k_coarse, (n, canvas // 32, canvas // 32, 3)),
+                jax.random.normal(k_coarse, (n, canvas // 32, canvas // 32, 3),
+                                  jnp.bfloat16),
                 (n, canvas, canvas, 3), "linear")
             fine = jax.image.resize(
-                jax.random.normal(k_fine, (n, canvas // 8, canvas // 8, 3)),
+                jax.random.normal(k_fine, (n, canvas // 8, canvas // 8, 3),
+                                  jnp.bfloat16),
                 (n, canvas, canvas, 3), "linear")
-            mix = mix_t[ds][:, None, None, None]
+            mix = mix_t[ds][:, None, None, None].astype(jnp.bfloat16)
             img = (1.0 - mix) * coarse + mix * fine
             mean = mean_t[ds][:, None, None, None]
             std = std_t[ds][:, None, None, None]
-            pixels = jnp.clip(mean + img * std, 0.0, 65535.0).astype(jnp.uint16)
+            pixels = jnp.clip(mean + img.astype(jnp.float32) * std,
+                              0.0, 65535.0).astype(jnp.uint16)
             u = jax.random.uniform(k_sp, (n, 3))
             spacing = (sp_min_t[ds] + u * (sp_max_t[ds] - sp_min_t[ds])).astype(jnp.float32)
             return (pixels.reshape(accum, batch_size, canvas, canvas, 3),
@@ -262,7 +267,6 @@ def main(argv=None) -> int:
         exclude_val_series,
         load_index_rows,
         load_split_manifest,
-        shard_rows,
         z_stride_subsample,
     )
     from dinox_tpu.data.pipeline import TrainLoader
@@ -337,7 +341,11 @@ def main(argv=None) -> int:
             rows = exclude_val_series(rows, load_split_manifest(args.split_manifest))
             print(f"excluded_val_rows={before - len(rows)}", flush=True)
         rows = z_stride_subsample(rows, args.z_stride)
-        rows = shard_rows(rows, jax.process_index(), jax.process_count())
+        # Multi-host sharding happens INSIDE TrainLoader (each host takes a
+        # disjoint strided shard of the shared-seed epoch ORDER, keeping the
+        # full row set for 2.5D neighbor lookup). Pre-sharding the rows with
+        # shard_rows here would strip every other slice from the SeriesMap
+        # and silently degenerate the (z-1, z, z+1) stacks to center copies.
         loader = TrainLoader(
             rows,
             args.batch_size,
@@ -345,6 +353,8 @@ def main(argv=None) -> int:
             canvas=args.canvas,
             diverse=args.diverse_batches,
             num_workers=args.num_workers,
+            host_id=jax.process_index(),
+            num_hosts=jax.process_count(),
         )
         batches = AccumBatches(loader, args.accumulation_steps)
         loader_position = lambda: loader.position  # noqa: E731

@@ -192,3 +192,49 @@ def test_train_loader_deterministic_across_instances(index_tree):
     b1, b2 = first_batch(), first_batch()
     np.testing.assert_array_equal(b1.pixels, b2.pixels)
     np.testing.assert_array_equal(b1.indices, b2.indices)
+
+
+def test_train_loader_close_unblocks_producer(index_tree):
+    """close() must terminate the producer thread even when the prefetch
+    queue is full and nobody consumes (a plain q.put would block forever)."""
+    import threading
+    import time as _time
+
+    loader = TrainLoader(index_tree, batch_size=2, seed=0, canvas=32,
+                         num_workers=2, prefetch=1)
+    it = iter(loader)
+    next(it)  # start the producer; queue refills behind the one consumed batch
+    _time.sleep(0.3)  # let the producer block on the full queue
+    loader.close()
+    deadline = _time.monotonic() + 5.0
+    while _time.monotonic() < deadline:
+        if not any(t.name == "dinox-producer" and t.is_alive()
+                   for t in threading.enumerate()):
+            break
+        _time.sleep(0.1)
+    assert not any(t.name == "dinox-producer" and t.is_alive()
+                   for t in threading.enumerate()), "producer thread leaked"
+
+
+def test_train_loader_multihost_keeps_neighbor_context(index_tree):
+    """Host sharding splits the epoch ORDER, not the row set: every host must
+    still resolve true (z-1, z, z+1) neighbors, and the hosts' batches must
+    be disjoint within an epoch."""
+    a = TrainLoader(index_tree, batch_size=2, seed=7, canvas=32,
+                    num_workers=1, host_id=0, num_hosts=2)
+    b = TrainLoader(index_tree, batch_size=2, seed=7, canvas=32,
+                    num_workers=1, host_id=1, num_hosts=2)
+    # full SeriesMap retained on both hosts
+    for ld in (a, b):
+        assert sum(len(d) for d in ld.source.series.by_series.values()) == len(index_tree)
+    batch_a = next(iter(a))
+    batch_b = next(iter(b))
+    a.close(); b.close()
+    # interior slices must have distinct z-1/z/z+1 planes (not center copies)
+    for batch in (batch_a, batch_b):
+        distinct = [
+            not (np.array_equal(px[..., 0], px[..., 1]) and
+                 np.array_equal(px[..., 1], px[..., 2]))
+            for px in batch.pixels
+        ]
+        assert any(distinct), "2.5D stacks degenerated to center copies"

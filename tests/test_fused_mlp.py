@@ -98,3 +98,14 @@ def test_lora_keeps_unfused_path():
     cfg = CFG.replace(fused_mlp=True, lora_rank=4)
     params = init_backbone(cfg, jax.random.key(0))
     assert "lora_A" in params["blocks_0"]["mlp"]["fc1"]
+
+
+def test_vjp_b2_cotangent_dtype():
+    """db2 must come back in b2's dtype even when it differs from b1's
+    (regression: db2 was cast to b1.dtype)."""
+    args = list(make_args())
+    args[6] = args[6].astype(jnp.bfloat16)  # b2 bf16, b1 stays f32
+    g = jax.grad(lambda *a: jnp.sum(fused_mlp_block(*a).astype(jnp.float32)),
+                 argnums=(4, 6))(*args)
+    assert g[0].dtype == jnp.float32   # db1 follows b1
+    assert g[1].dtype == jnp.bfloat16  # db2 follows b2

@@ -103,3 +103,20 @@ def test_stratified_patient_split_no_leakage_and_balance():
     # roughly half of it (patients are balanced by construction)
     pos_frac = sum(s["label"] for s in train) / len(train)
     assert 0.25 < pos_frac < 0.75
+
+
+def test_consensus_exactly_three_is_indeterminate():
+    """avg malignancy exactly at the threshold is indeterminate — not
+    malignant — matching the consensus-CSV path's ==3 drop."""
+    cluster = [
+        mark("s", "r1", 10, 100, 100, 2),
+        mark("s", "r2", 10, 101, 101, 4),
+    ]
+    c = consensus_from_cluster(cluster, min_raters=2)
+    assert c.avg_malignancy == pytest.approx(3.0)
+    assert c.is_indeterminate(3.0)
+    assert c.label(3.0) == 0  # and never labeled malignant
+    assert not consensus_from_cluster(
+        [mark("s", "r1", 10, 100, 100, 4), mark("s", "r2", 10, 101, 101, 4)],
+        min_raters=2,
+    ).is_indeterminate(3.0)

@@ -230,3 +230,18 @@ def test_catalog_hash_stability(tmp_path):
     (tmp_path / "x.yaml").write_text("name: y\n")
     assert compute_catalog_hash(tmp_path) != h1
     assert compute_catalog_hash(tmp_path / "missing") == "unknown"
+
+
+def test_merge_total_below_dataset_count():
+    """total_slices < number of datasets: the min-1 floors themselves
+    overshoot, so smallest-weight datasets drop to 0 and the budget holds."""
+    merger = DatasetMerger()
+    for i, w in enumerate([10.0, 5.0, 2.0, 1.0, 0.5, 0.1]):
+        merger.add(DataManifest(make_records(f"ds{i}", n_series=1, n_slices=4)),
+                   weight=w)
+    merged, usage = merger.build(seed=0, total_slices=3, strategy="manual")
+    assert len(merged) == 3
+    assert sum(u.slices_used for u in usage) == 3
+    # the largest-weight datasets keep their slot
+    used = {u.name: u.slices_used for u in usage}
+    assert used["ds0"] >= 1

@@ -163,3 +163,25 @@ def test_device_synthetic_batches_two_organ_unchanged():
     hu_means = px[0].astype(np.float32).mean(axis=(1, 2, 3)) - 32768.0
     # two organ modes: lung-like (~-600) and abdomen (~+40)
     assert ((hu_means < -300) | (hu_means > -150)).all()
+
+
+def test_train_loop_anomaly_no_duplicate_flush(tmp_path, tiny_state):
+    """A fatal anomaly raised from flush() must not replay the metric buffer
+    in the cleanup path: each step logged once, the emergency checkpoint
+    recorded under the trainer's true current step."""
+    cfg = TINY.replace(batch_size=4)
+    with pytest.raises(FloatingPointError, match="anomaly"):
+        train(
+            cfg, tiny_state, fake_step([1.0, float("nan"), 0.9]), make_batches(),
+            run_dir=tmp_path / "run", max_steps=3, ckpt_every=0,
+            tensorboard=False, log_jsonl=True,
+        )
+    lines = [json.loads(ln) for ln in
+             (tmp_path / "run" / "metrics.jsonl").read_text().splitlines()]
+    steps = [ln["step"] for ln in lines]
+    assert len(steps) == len(set(steps)), f"duplicate metric rows: {steps}"
+    emergency = (tmp_path / "run" / "EMERGENCY.txt").read_text()
+    # the saved state is the trainer's current one (step 3, buffered flush) —
+    # recorded under its own step so resume replays nothing; the message
+    # names the earlier detection step
+    assert "step=3" in emergency and "detected at step 2" in emergency
