@@ -170,7 +170,13 @@ def train(
                 on_step(step, metrics, state)
 
             due_ckpt = bool(ckpt_every and step % ckpt_every == 0)
-            if due_ckpt or step == max_steps or stop.stop or time.monotonic() - t_last >= 10.0:
+            # Flush on the 10-s cadence OR when the buffer hits 64 steps:
+            # dispatch is asynchronous and much faster than execution with
+            # device-resident batches, so a wall-clock-only trigger lets the
+            # loop enqueue thousands of steps and then stall in one giant
+            # drain (sawtooth telemetry, minutes-late anomaly detection).
+            if (due_ckpt or step == max_steps or stop.stop
+                    or len(pending) >= 64 or time.monotonic() - t_last >= 10.0):
                 flush()
             if due_ckpt:
                 ckpt.save(
