@@ -96,8 +96,21 @@ def train(
         if not pending:
             return
         try:
-            for i, (s, m) in enumerate(pending):
-                host = {k: float(v) for k, v in m.items()}
+            # ONE device->host transfer for the whole buffer: per-scalar
+            # float(v) costs a full RPC round trip each on remote/tunneled
+            # devices (~10 scalars x RTT per step made the drain, and the
+            # samples/s telemetry derived from it, latency-bound).
+            import jax.numpy as jnp
+
+            keys = sorted(pending[0][1])
+            stacked = np.asarray(
+                jnp.stack([
+                    jnp.stack([jnp.asarray(m[k], jnp.float32) for k in keys])
+                    for _, m in pending
+                ])
+            )
+            host_rows = [dict(zip(keys, row.tolist())) for row in stacked]
+            for i, ((s, _m), host) in enumerate(zip(pending, host_rows)):
                 is_last = i == len(pending) - 1
                 if is_last:
                     now = time.monotonic()  # after the device sync above
