@@ -37,6 +37,9 @@ class ModelConfig:
     # (ops/fused_mlp.py). Identical params/checkpoints; ignored when LoRA is
     # active (adapters need the unfused Dense path).
     fused_mlp: bool = False
+    # tanh-approximate GELU in the transformer MLPs (opt-in perf knob; the
+    # default exact erf matches torch nn.GELU — see docs/PROFILING.md)
+    gelu_approx: bool = False
     dtype: str = "bfloat16"  # compute dtype; params always float32
     # LoRA (first-class; reference wraps HF peft instead — zoo/peft.py)
     lora_rank: int = 0

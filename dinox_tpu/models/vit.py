@@ -136,12 +136,17 @@ class Attention(nn.Module):
 
 
 class Mlp(nn.Module):
-    """Two-layer MLP with exact GELU; fc1/fc2 naming (reference: zoo/arch.py:62-76)."""
+    """Two-layer MLP with exact GELU; fc1/fc2 naming (reference: zoo/arch.py:62-76).
+
+    ``gelu_approx=True`` swaps in the tanh approximation — an opt-in perf
+    knob (the exact erf is transcendental-heavy VPU work fused into the fc1
+    dot, see docs/PROFILING.md); default stays exact for torch parity."""
 
     dim: int
     mlp_ratio: float = 4.0
     dtype: Dtype = jnp.float32
     lora: tuple = ()
+    gelu_approx: bool = False
 
     def _lora_for(self, name: str) -> dict:
         if not self.lora or name not in self.lora[3]:
@@ -155,7 +160,7 @@ class Mlp(nn.Module):
             hidden, dtype=self.dtype,
             kernel_init=xavier_uniform, name="fc1", **self._lora_for("fc1"),
         )(x, deterministic=not train)
-        x = _gelu(x)
+        x = nn.gelu(x, approximate=self.gelu_approx)
         return LoraDense(
             self.dim, dtype=self.dtype,
             kernel_init=xavier_uniform, name="fc2", **self._lora_for("fc2"),
@@ -214,6 +219,7 @@ class TransformerBlock(nn.Module):
     dtype: Dtype = jnp.float32
     lora: tuple = ()
     fused_mlp: bool = False
+    gelu_approx: bool = False
     mesh: Optional[Mesh] = None
 
     @nn.compact
@@ -231,7 +237,8 @@ class TransformerBlock(nn.Module):
                 self.dim, int(self.dim * self.mlp_ratio), name="mlp"
             )()
             return fused_mlp_block(x, g, b, w1, b1, w2, b2)
-        x = x + Mlp(self.dim, self.mlp_ratio, dtype=self.dtype, lora=self.lora, name="mlp")(
+        x = x + Mlp(self.dim, self.mlp_ratio, dtype=self.dtype, lora=self.lora,
+                    gelu_approx=self.gelu_approx, name="mlp")(
             ln(name="norm2")(x), train=train
         )
         return x
@@ -307,7 +314,8 @@ class PatchViT(nn.Module):
             TransformerBlock(
                 cfg.dim, cfg.heads, cfg.mlp_ratio,
                 attn_impl=cfg.attn_impl, dtype=dtype, lora=lora,
-                fused_mlp=cfg.fused_mlp, mesh=self.mesh,
+                fused_mlp=cfg.fused_mlp, gelu_approx=cfg.gelu_approx,
+                mesh=self.mesh,
             )
             for _ in range(cfg.depth)
         ]

@@ -50,6 +50,9 @@ def parse_args(argv=None):
     p.add_argument("--scale-aware", action="store_true")
     p.add_argument("--img-size", type=int, default=224)
     p.add_argument("--attn-impl", default="pallas", choices=["pallas", "xla"])
+    p.add_argument("--gelu-approx", action="store_true",
+                   help="tanh-approximate GELU in the MLPs (perf knob; "
+                        "default exact erf matches torch)")
     p.add_argument("--grad-checkpoint", action="store_true")
     # training
     p.add_argument("--batch-size", type=int, default=64)
@@ -282,6 +285,7 @@ def main(argv=None) -> int:
         scale_aware=args.scale_aware,
         attn_impl=args.attn_impl,
         use_grad_checkpoint=args.grad_checkpoint,
+        gelu_approx=args.gelu_approx,
     )
     cfg = TrainConfig(
         model=mcfg,

@@ -132,3 +132,25 @@ def test_dtype_policy(dtype):
         assert leaf.dtype == jnp.float32
     out = PatchViT(cfg).apply({"params": params}, jnp.ones((1, 28, 28, 3)))
     assert out.dtype == jnp.float32  # final norm upcasts
+
+
+def test_gelu_approx_flag():
+    """gelu_approx changes only the MLP nonlinearity: same params/checkpoint,
+    close-but-not-identical outputs; default remains exact (torch parity)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dinox_tpu.models.config import ModelConfig
+    from dinox_tpu.models.vit import PatchViT, init_backbone
+
+    cfg = ModelConfig(name="t", img_size=32, patch=16, dim=64, depth=2, heads=2,
+                      out_dim=128, scale_aware=False, attn_impl="xla",
+                      dtype="float32")
+    params = init_backbone(cfg, jax.random.key(0))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32, 32, 3)),
+                    jnp.float32)
+    exact = PatchViT(cfg).apply({"params": params}, x, None)
+    approx = PatchViT(cfg.replace(gelu_approx=True)).apply({"params": params}, x, None)
+    assert not np.allclose(np.asarray(exact), np.asarray(approx), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(exact), np.asarray(approx), atol=5e-2)
