@@ -265,6 +265,21 @@ def _pick_group(b: int, per_item_bytes: int, budget: int) -> int:
     return 1
 
 
+# Mosaic's scoped-vmem (kernel stack) limit is 16 MB; the backward kernels
+# keep ~2 live (n, n) f32 scratch arrays per UNROLLED (group, head) step, so
+# many-head configs (e.g. the MAE decoder: heads=16, dim=512 -> combined
+# path) blow the stack even when the I/O blocks fit VMEM. Observed on chip:
+# group=2 x heads=16 x 2 x 257^2 x 4B ~= 17 MB -> "Ran out of memory in
+# memory space vmem ... scoped allocation".
+_SCOPED_STACK_BUDGET = 12 * 1024 * 1024
+
+
+def _shrink_group_for_stack(group: int, heads: int, n: int, live: int = 2) -> int:
+    while group > 1 and group * heads * live * n * n * 4 > _SCOPED_STACK_BUDGET:
+        group //= 2
+    return group
+
+
 def _packed_fwd(qkv: jnp.ndarray, heads: int) -> jnp.ndarray:
     b, n, three_dim = qkv.shape
     dim = three_dim // 3
@@ -364,6 +379,7 @@ def _packed_bwd_split(qkv: jnp.ndarray, do: jnp.ndarray, heads: int) -> jnp.ndar
     scale = 1.0 / (hd ** 0.5)
     per_item = (three_dim + 2 * dim) * n * qkv.dtype.itemsize
     group = _pick_group(b, per_item, budget=9 * 1024 * 1024)
+    group = _shrink_group_for_stack(group, heads, n)
     spec_qkv = pl.BlockSpec((group, n, three_dim), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     spec_d = pl.BlockSpec((group, n, dim), lambda i: (i, 0, 0),
@@ -402,6 +418,11 @@ def _packed_bwd(qkv: jnp.ndarray, do: jnp.ndarray, heads: int) -> jnp.ndarray:
     # bwd keeps more f32 scratch alive (s/p/dp per unrolled head) -> bigger margin
     group = _pick_group(b, (2 * three_dim + dim) * n * qkv.dtype.itemsize,
                         budget=9 * 1024 * 1024)
+    group = _shrink_group_for_stack(group, heads, n)
+    if group * heads * 2 * n * n * 4 > _SCOPED_STACK_BUDGET:
+        # even ungrouped the unrolled heads overflow the kernel stack ->
+        # the split kernels' smaller live sets are the remaining headroom
+        return _packed_bwd_split(qkv, do, heads)
     kernel = functools.partial(
         _packed_bwd_kernel, scale=1.0 / (hd ** 0.5), group=group, heads=heads, hd=hd
     )

@@ -100,3 +100,29 @@ def test_packed_long_seq_falls_back_to_xla():
         np.asarray(flash_attention_packed(qkv, 2)),
         np.asarray(_xla_sdpa_packed(qkv, 2)), atol=1e-5,
     )
+
+
+def test_bwd_group_shrinks_under_scoped_stack_budget():
+    """Many-head configs (MAE decoder: heads=16, dim=512, n=257) must shrink
+    the backward group so the unrolled per-head f32 scratch stays under
+    Mosaic's scoped-vmem stack limit (observed 18 MB blowup on chip at
+    group=2), while ViT-S/L shapes keep their groups."""
+    from dinox_tpu.ops.flash_attention import (
+        _SCOPED_STACK_BUDGET,
+        _shrink_group_for_stack,
+        _xla_sdpa_packed,
+        flash_attention_packed,
+    )
+
+    # decoder shape: group 2 -> 1
+    assert _shrink_group_for_stack(2, heads=16, n=257) == 1
+    assert 1 * 16 * 2 * 257 * 257 * 4 <= _SCOPED_STACK_BUDGET
+    # ViT-S shape: group 2 stays
+    assert _shrink_group_for_stack(2, heads=6, n=261) == 2
+
+    # numerics at decoder dims (group 1 path)
+    rng = np.random.default_rng(3)
+    qkv = jnp.asarray(rng.normal(size=(2, 257, 3 * 512)).astype(np.float32) * 0.1)
+    g1 = jax.grad(lambda t: jnp.sum(jnp.sin(flash_attention_packed(t, 16))))(qkv)
+    g2 = jax.grad(lambda t: jnp.sum(jnp.sin(_xla_sdpa_packed(t, 16))))(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
