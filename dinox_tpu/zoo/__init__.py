@@ -65,3 +65,25 @@ def __getattr__(name):  # lazy re-exports
 
         return getattr(importlib.import_module(_LAZY[name]), name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+# "encode" names BOTH the implementation submodule and the public function.
+# Importing the submodule anywhere (`import dinox_tpu.zoo.encode`) binds the
+# module object onto this package, shadowing the lazy function re-export —
+# `zoo.encode(...)` would then raise "module is not callable" depending on
+# import order. Redirect package-attribute access back to the function
+# (the reference binds the function eagerly, zoo/__init__.py; we keep the
+# import lazy for provenance-only users).
+import sys as _sys
+import types as _types
+
+
+class _ZooModule(_types.ModuleType):
+    def __getattribute__(self, name):
+        val = _types.ModuleType.__getattribute__(self, name)
+        if isinstance(val, _types.ModuleType) and name in _LAZY:
+            return getattr(val, name)
+        return val
+
+
+_sys.modules[__name__].__class__ = _ZooModule

@@ -185,3 +185,17 @@ def test_train_loop_anomaly_no_duplicate_flush(tmp_path, tiny_state):
     # recorded under its own step so resume replays nothing; the message
     # names the earlier detection step
     assert "step=3" in emergency and "detected at step 2" in emergency
+
+
+def test_zoo_encode_function_survives_submodule_import():
+    """`encode` names both a submodule and the public function; importing
+    the submodule binds it onto the package and must NOT shadow the
+    function (regression: zoo.encode became the module under that import
+    order and calls raised 'module is not callable')."""
+    import dinox_tpu.zoo.encode  # noqa: F401  (binds submodule onto package)
+    import dinox_tpu.zoo as zoo
+
+    assert callable(zoo.encode) and callable(zoo.encode_batch)
+    from dinox_tpu.zoo import encode
+
+    assert callable(encode)
