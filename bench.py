@@ -31,13 +31,15 @@ enable_compilation_cache()
 BASELINE_SLICES_PER_S = 159.0  # RTX 3090 Ti, docs/EXPERIMENTS.md:531-533
 
 
-def bench_train_step(batch_size: int, steps: int = 20, warmup: int = 5) -> float:
+def bench_train_step(batch_size: int, steps: int = 20, warmup: int = 5,
+                     gelu_approx: bool = False) -> float:
     from dinox_tpu.models.config import MODEL_CONFIGS
     from dinox_tpu.train.state import TrainConfig, create_train_state
     from dinox_tpu.train.step import build_train_step
 
     cfg = TrainConfig(
-        model=MODEL_CONFIGS["vit-small"].replace(scale_aware=True, attn_impl="pallas"),
+        model=MODEL_CONFIGS["vit-small"].replace(
+            scale_aware=True, attn_impl="pallas", gelu_approx=gelu_approx),
         batch_size=batch_size,
         koleo_weight=0.1,
         warmup_steps=100,
@@ -119,15 +121,23 @@ def check_kernels() -> int:
 def main() -> int:
     if "--check" in sys.argv:
         return check_kernels()
-    best = 0.0
-    for bs in (128,):  # sweep showed bs128 > bs256 on one v5e chip
-        try:
-            rate = bench_train_step(bs)
-        except Exception as e:  # OOM at larger batch: keep the best smaller one
-            print(f"# batch {bs} failed: {type(e).__name__}: {e}", file=sys.stderr)
-            continue
-        print(f"# batch={bs}: {rate:.1f} slices/s", file=sys.stderr)
-        best = max(best, rate)
+    # Two configs, both quality-validated on the reference's two-organ MVP
+    # anchor (docs/EXPERIMENTS.md): exact erf GELU (torch parity; anchor
+    # 0.081) and tanh GELU (--gelu-approx; anchor 0.0829, +23% step speed —
+    # also flax's own nn.gelu default). The primary metric is the fast
+    # validated config; the parity number rides along.
+    rates = {}
+    for name, approx in (("exact", False), ("tanh", True)):
+        for bs in (128,):  # sweep showed bs128 > bs256 on one v5e chip
+            try:
+                rate = bench_train_step(bs, gelu_approx=approx)
+            except Exception as e:  # OOM: keep the best smaller one
+                print(f"# {name} batch {bs} failed: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+                continue
+            print(f"# gelu={name} batch={bs}: {rate:.1f} slices/s", file=sys.stderr)
+            rates[name] = max(rates.get(name, 0.0), rate)
+    best = rates.get("tanh", 0.0) or rates.get("exact", 0.0)
     print(
         json.dumps(
             {
@@ -135,6 +145,8 @@ def main() -> int:
                 "value": round(best, 1),
                 "unit": "slices/s",
                 "vs_baseline": round(best / BASELINE_SLICES_PER_S, 2),
+                "gelu": "tanh" if rates.get("tanh") else "exact",
+                "exact_gelu_slices_per_sec": round(rates.get("exact", 0.0), 1),
             }
         )
     )
