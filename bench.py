@@ -122,10 +122,14 @@ def main() -> int:
     if "--check" in sys.argv:
         return check_kernels()
     # Two configs, both quality-validated on the reference's two-organ MVP
-    # anchor (docs/EXPERIMENTS.md): exact erf GELU (torch parity; anchor
-    # 0.081) and tanh GELU (--gelu-approx; anchor 0.0829, +23% step speed —
-    # also flax's own nn.gelu default). The primary metric is the fast
-    # validated config; the parity number rides along.
+    # anchor (docs/EXPERIMENTS.md): tanh GELU (the SHIPPING DEFAULT —
+    # ModelConfig.gelu_approx=True, scripts/pretrain.py --gelu tanh; anchor
+    # 0.0829) and exact erf GELU (--gelu exact, torch-parity mode used for
+    # reference-imported checkpoints; anchor 0.081). The primary metric is
+    # the default path; the parity number rides along in
+    # exact_gelu_slices_per_sec. vs_baseline compares against the
+    # reference's own default-config number (BASELINE.md, erf/torch) — each
+    # framework measured at its shipping default.
     rates = {}
     for name, approx in (("exact", False), ("tanh", True)):
         for bs in (128,):  # sweep showed bs128 > bs256 on one v5e chip

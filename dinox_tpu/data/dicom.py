@@ -34,6 +34,29 @@ TAG_PIXEL_DATA = (0x7FE0, 0x0010)
 _EXPLICIT_LE = "1.2.840.10008.1.2.1"
 _IMPLICIT_LE = "1.2.840.10008.1.2"
 
+# Known-but-unsupported transfer syntaxes, for actionable error messages.
+# LIDC/TCIA CT archives ship uncompressed LE, which is why only the two
+# syntaxes above are implemented (documented limitation — docs/DECISIONS.md);
+# anything else needs an external decode step (e.g. pydicom+pylibjpeg
+# offline, or `gdcmconv --raw`).
+_KNOWN_UNSUPPORTED = {
+    "1.2.840.10008.1.2.2": "Explicit VR Big Endian",
+    "1.2.840.10008.1.2.1.99": "Deflated Explicit VR Little Endian",
+    "1.2.840.10008.1.2.4.50": "JPEG Baseline (Process 1)",
+    "1.2.840.10008.1.2.4.51": "JPEG Extended (Process 2&4)",
+    "1.2.840.10008.1.2.4.57": "JPEG Lossless",
+    "1.2.840.10008.1.2.4.70": "JPEG Lossless SV1",
+    "1.2.840.10008.1.2.4.80": "JPEG-LS Lossless",
+    "1.2.840.10008.1.2.4.81": "JPEG-LS Near-Lossless",
+    "1.2.840.10008.1.2.4.90": "JPEG 2000 Lossless",
+    "1.2.840.10008.1.2.4.91": "JPEG 2000",
+    "1.2.840.10008.1.2.5": "RLE Lossless",
+}
+
+
+class UnsupportedTransferSyntaxError(ValueError):
+    """Raised for DICOM transfer syntaxes this reader does not decode."""
+
 # VRs whose explicit-form length field is 4 bytes after 2 reserved bytes
 _LONG_VRS = {b"OB", b"OW", b"OF", b"SQ", b"UT", b"UN", b"OD", b"OL", b"UC", b"UR"}
 
@@ -128,7 +151,14 @@ def read_dicom(path: str | Path, stop_before_pixels: bool = False) -> DicomSlice
     raw = Path(path).read_bytes()
     ts, pos = _parse_meta(raw)
     if ts not in (_EXPLICIT_LE, _IMPLICIT_LE):
-        raise ValueError(f"{path}: unsupported transfer syntax {ts} (compressed?)")
+        name = _KNOWN_UNSUPPORTED.get(ts, "unrecognized")
+        raise UnsupportedTransferSyntaxError(
+            f"{path}: unsupported DICOM transfer syntax {ts} ({name}). This "
+            "reader decodes uncompressed Little-Endian only (Explicit "
+            f"{_EXPLICIT_LE} / Implicit {_IMPLICIT_LE}) — the format LIDC/TCIA "
+            "CT archives use. Convert compressed files first, e.g. "
+            "`gdcmconv --raw in.dcm out.dcm` or pydicom+pylibjpeg offline."
+        )
     explicit = ts == _EXPLICIT_LE
 
     ds = DicomSlice()

@@ -16,7 +16,7 @@ from __future__ import annotations
 import logging
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import CancelledError, ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Iterator, Optional
 
@@ -214,17 +214,26 @@ class TrainLoader:
 
         def producer() -> None:
             epoch, offset = self.epoch, self.batch_in_epoch
-            while not stop.is_set():
-                chunks = self._epoch_batches(epoch)
-                for b, idxs in enumerate(chunks):
-                    if b < offset:
-                        continue
-                    if stop.is_set():
-                        return
-                    if not put_or_stop(self._assemble(idxs, epoch)):
-                        return
-                offset = 0
-                epoch += 1
+            try:
+                while not stop.is_set():
+                    chunks = self._epoch_batches(epoch)
+                    for b, idxs in enumerate(chunks):
+                        if b < offset:
+                            continue
+                        if stop.is_set():
+                            return
+                        if not put_or_stop(self._assemble(idxs, epoch)):
+                            return
+                    offset = 0
+                    epoch += 1
+            except (CancelledError, RuntimeError):
+                # close() shuts the pool down with cancel_futures=True while
+                # an _assemble may be mid-map: the resulting CancelledError
+                # (or "cannot schedule new futures after shutdown") is the
+                # expected teardown path, not a worker crash. Anything that
+                # fires while the loader is still live is a real error.
+                if not stop.is_set():
+                    raise
 
         t = threading.Thread(target=producer, daemon=True, name="dinox-producer")
         t.start()

@@ -8,6 +8,8 @@ backbone CLS token (not the projection head), matching the reference embedder
 
 from __future__ import annotations
 
+import os
+from concurrent.futures import ThreadPoolExecutor
 from typing import Optional, Sequence
 
 import jax
@@ -25,15 +27,42 @@ def _l2n(x: np.ndarray) -> np.ndarray:
 
 
 def _load_batches(rows: Sequence[IndexRow], idxs: np.ndarray, canvas: int, batch_size: int):
+    """Decode eval batches with a thread pool + one-batch prefetch.
+
+    The per-slice PNG decode releases the GIL (native/png16.cc), so the
+    pool parallelizes the inflate work within a batch, and assembling batch
+    i+1 overlaps the device forward of batch i — the same overlap structure
+    as the training TrainLoader (a round-2 ledger item noted this path was
+    serial on the host)."""
     src = SliceStackSource(list(rows), canvas=canvas)
-    for start in range(0, len(idxs), batch_size):
-        chunk = idxs[start : start + batch_size]
-        pixels = np.stack([src.get(int(i))[0] for i in chunk])
+    workers = min(8, max(2, os.cpu_count() or 2))
+
+    def assemble(chunk: np.ndarray, pool: ThreadPoolExecutor):
+        pixels = np.stack(
+            list(pool.map(lambda i: src.get(int(i))[0], chunk.tolist()))
+        )
         spacing = np.stack(
             [[rows[i].spacing_x, rows[i].spacing_y, rows[i].spacing_z] for i in chunk],
             dtype=np.float32,
         )
-        yield pixels, spacing
+        return pixels, spacing
+
+    chunks = [idxs[s : s + batch_size] for s in range(0, len(idxs), batch_size)]
+    # Separate pools: the 1-thread prefetcher runs at most one assemble()
+    # while the decode pool fans out its per-slice work — assembles never
+    # occupy (and so never starve) the decode workers.
+    with ThreadPoolExecutor(max_workers=workers,
+                            thread_name_prefix="dinox-eval-decode") as pool, \
+         ThreadPoolExecutor(max_workers=1,
+                            thread_name_prefix="dinox-eval-prefetch") as prefetcher:
+        pending = None
+        for chunk in chunks:
+            fut = prefetcher.submit(assemble, chunk, pool)
+            if pending is not None:
+                yield pending.result()
+            pending = fut
+        if pending is not None:
+            yield pending.result()
 
 
 def embed_rows(

@@ -37,9 +37,13 @@ class ModelConfig:
     # (ops/fused_mlp.py). Identical params/checkpoints; ignored when LoRA is
     # active (adapters need the unfused Dense path).
     fused_mlp: bool = False
-    # tanh-approximate GELU in the transformer MLPs (opt-in perf knob; the
-    # default exact erf matches torch nn.GELU — see docs/PROFILING.md)
-    gelu_approx: bool = False
+    # MLP nonlinearity. Natively-trained models default to the tanh-approximate
+    # GELU (flax's own default; quality-validated against the exact arm on the
+    # two-organ MVP anchor — docs/EXPERIMENTS.md `mvp_gelu_tanh`, +23% step
+    # speed). Reference-imported checkpoints auto-select the exact erf (torch
+    # nn.GELU) via zoo/hub._cfg_from_dict, so torch parity is preserved
+    # per-model. The field travels with every checkpoint's config.json.
+    gelu_approx: bool = True
     dtype: str = "bfloat16"  # compute dtype; params always float32
     # LoRA (first-class; reference wraps HF peft instead — zoo/peft.py)
     lora_rank: int = 0
@@ -105,4 +109,7 @@ HUB_DEFAULT_CONFIG: dict[str, Any] = {
     "num_registers": 4,
     "scale_aware": False,
     "out_dim": 8192,
+    # Checkpoints with no config are reference-format (torch) exports: keep
+    # the exact erf GELU so imported models stay bit-compatible with torch.
+    "gelu_approx": False,
 }

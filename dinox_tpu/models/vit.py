@@ -136,11 +136,12 @@ class Attention(nn.Module):
 
 
 class Mlp(nn.Module):
-    """Two-layer MLP with exact GELU; fc1/fc2 naming (reference: zoo/arch.py:62-76).
+    """Two-layer MLP; fc1/fc2 naming (reference: zoo/arch.py:62-76).
 
-    ``gelu_approx=True`` swaps in the tanh approximation — an opt-in perf
-    knob (the exact erf is transcendental-heavy VPU work fused into the fc1
-    dot, see docs/PROFILING.md); default stays exact for torch parity."""
+    ``gelu_approx`` selects tanh vs exact-erf GELU. Native models default to
+    tanh (quality-validated; the exact erf is transcendental-heavy VPU work
+    fused into the fc1 dot, see docs/PROFILING.md); reference-imported
+    checkpoints run exact for torch parity (see ModelConfig.gelu_approx)."""
 
     dim: int
     mlp_ratio: float = 4.0
@@ -229,7 +230,10 @@ class TransformerBlock(nn.Module):
             self.dim, self.heads, attn_impl=self.attn_impl, dtype=self.dtype,
             lora=self.lora, mesh=self.mesh, name="attn",
         )(ln(name="norm1")(x), train=train)
-        if self.fused_mlp and not self.lora:
+        # fused_mlp_block hard-wires the exact erf GELU; route tanh-GELU
+        # configs to the unfused path (like the LoRA exclusion) rather than
+        # silently computing a different nonlinearity than configured.
+        if self.fused_mlp and not self.lora and not self.gelu_approx:
             from dinox_tpu.ops.fused_mlp import fused_mlp_block
 
             g, b = _LnParams(self.dim, name="norm2")()

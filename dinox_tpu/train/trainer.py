@@ -103,6 +103,15 @@ def train(
             import jax.numpy as jnp
 
             keys = sorted(pending[0][1])
+            # The batched transfer indexes every buffered dict with one key
+            # set; a schema drift mid-window would otherwise surface as a
+            # bare KeyError while the finally-clause discards the buffer.
+            for s, m in pending:
+                if sorted(m) != keys:
+                    raise RuntimeError(
+                        f"metric key set changed mid-buffer at step {s}: "
+                        f"{sorted(m)} vs {keys}"
+                    )
             stacked = np.asarray(
                 jnp.stack([
                     jnp.stack([jnp.asarray(m[k], jnp.float32) for k in keys])

@@ -74,6 +74,12 @@ def __getattr__(name):  # lazy re-exports
 # import order. Redirect package-attribute access back to the function
 # (the reference binds the function eagerly, zoo/__init__.py; we keep the
 # import lazy for provenance-only users).
+#
+# Known constraint: since Python 3.7, `import dinox_tpu.zoo.encode as m`
+# resolves the binding through this parent-package getattr too, so `m` is the
+# FUNCTION, not the module. Code that needs the module's internals must use
+# `from dinox_tpu.zoo.encode import <name>` (as scripts/serve.py does) or
+# importlib.import_module("dinox_tpu.zoo.encode").
 import sys as _sys
 import types as _types
 

@@ -101,6 +101,9 @@ def _cfg_from_dict(config: dict[str, Any]) -> ModelConfig:
         out_dim=int(merged.get("out_dim", 8192)),
         num_registers=int(merged.get("num_registers", 4)),
         scale_aware=bool(merged.get("scale_aware", False)),
+        # Absent from reference-format configs -> exact erf (torch parity);
+        # native exports carry the field explicitly (export_hub_checkpoint).
+        gelu_approx=bool(merged.get("gelu_approx", False)),
     )
 
 
@@ -267,7 +270,7 @@ def export_hub_checkpoint(
         config = {
             "img_size": c.img_size, "patch": c.patch, "dim": c.dim, "depth": c.depth,
             "heads": c.heads, "mlp_ratio": c.mlp_ratio, "num_registers": c.num_registers,
-            "scale_aware": c.scale_aware,
+            "scale_aware": c.scale_aware, "gelu_approx": c.gelu_approx,
         }
     (out / "config.json").write_text(json.dumps(config, indent=2))
 

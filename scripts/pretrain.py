@@ -50,9 +50,12 @@ def parse_args(argv=None):
     p.add_argument("--scale-aware", action="store_true")
     p.add_argument("--img-size", type=int, default=224)
     p.add_argument("--attn-impl", default="pallas", choices=["pallas", "xla"])
+    p.add_argument("--gelu", default="tanh", choices=["tanh", "exact"],
+                   help="MLP GELU variant. Default tanh (quality-validated, "
+                        "+23%% step speed, flax default); 'exact' is the "
+                        "erf form matching torch nn.GELU for parity runs.")
     p.add_argument("--gelu-approx", action="store_true",
-                   help="tanh-approximate GELU in the MLPs (perf knob; "
-                        "default exact erf matches torch)")
+                   help=argparse.SUPPRESS)  # deprecated alias for --gelu tanh
     p.add_argument("--grad-checkpoint", action="store_true")
     # training
     p.add_argument("--batch-size", type=int, default=64)
@@ -285,7 +288,7 @@ def main(argv=None) -> int:
         scale_aware=args.scale_aware,
         attn_impl=args.attn_impl,
         use_grad_checkpoint=args.grad_checkpoint,
-        gelu_approx=args.gelu_approx,
+        gelu_approx=args.gelu_approx or args.gelu == "tanh",
     )
     cfg = TrainConfig(
         model=mcfg,

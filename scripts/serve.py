@@ -25,9 +25,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import queue
 import sys
 import threading
 import time
+from concurrent.futures import Future
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 
@@ -41,14 +43,33 @@ enable_compilation_cache()
 import numpy as np
 
 
-class EmbedService:
-    """Bucketed batch embedding around a LoadedModel.
+class _Work:
+    """One enqueued embed request: preprocessed pixels + spacing + a Future
+    the dispatcher resolves with this request's slice of the fused batch."""
 
-    Requests are padded up to the smallest bucket that fits (compiled once,
-    warmed at startup); oversize requests are chunked by the largest bucket.
+    __slots__ = ("xs", "sp", "future")
+
+    def __init__(self, xs, sp):
+        self.xs = xs
+        self.sp = sp
+        self.future: Future = Future()
+
+
+class EmbedService:
+    """Bucketed batch embedding around a LoadedModel, with cross-request
+    micro-batching.
+
+    All forwards run on ONE dispatcher thread fed by a queue: when a request
+    arrives, the dispatcher keeps draining the queue for up to
+    ``batch_window_ms`` (or until the largest bucket is full) and fuses the
+    coalesced images into a single forward — N concurrent 1-image clients
+    cost ~1 forward, not N. Requests are padded up to the smallest bucket
+    that fits (compiled once, warmed at startup); oversize batches are
+    chunked by the largest bucket.
     """
 
-    def __init__(self, backbone: str, buckets: list[int]):
+    def __init__(self, backbone: str, buckets: list[int],
+                 batch_window_ms: float = 6.0):
         import jax.numpy as jnp
 
         from dinox_tpu.zoo.hub import load_model
@@ -56,7 +77,20 @@ class EmbedService:
         self.model = load_model(backbone)
         self.buckets = sorted(set(buckets))
         self._jnp = jnp
-        self._lock = threading.Lock()  # one device, serialize forwards
+        self._window = batch_window_ms / 1000.0
+        # requests/forwards/batched_images counters (exposed in /healthz)
+        self.stats = {"requests": 0, "forwards": 0, "images": 0}
+        self._queue: queue.Queue = queue.Queue()
+        self._closing = False
+        self._dispatcher = threading.Thread(
+            target=self._dispatch_loop, name="dinox-serve-dispatch", daemon=True
+        )
+        self._dispatcher.start()
+
+    def close(self) -> None:
+        """Stop the dispatcher (pending requests are still served first)."""
+        self._queue.put(None)
+        self._dispatcher.join(timeout=30)
 
     def warmup(self) -> None:
         for b in self.buckets:
@@ -79,7 +113,8 @@ class EmbedService:
 
         if self.model.scale_aware and spacings is None:
             raise ValueError("model is scale-aware: 'spacings' is required")
-        n = len(images)
+        if self._closing:
+            raise RuntimeError("service is shut down")
         xs = np.stack([
             _preprocess(np.asarray(img, np.float32), self.model.img_size,
                         input_format, hu_level, hu_width)
@@ -87,10 +122,45 @@ class EmbedService:
         ])
         sp = (np.asarray(spacings, np.float32)
               if self.model.scale_aware else None)
+        work = _Work(xs, sp)
+        self._queue.put(work)
+        return work.future.result()
 
-        out = []
-        start = 0
-        with self._lock:
+    # -- dispatcher ---------------------------------------------------------
+
+    def _dispatch_loop(self) -> None:
+        while True:
+            item = self._queue.get()
+            if item is None:
+                self._closing = True
+                return
+            batch = [item]
+            total = item.xs.shape[0]
+            deadline = time.monotonic() + self._window
+            while total < self.buckets[-1]:
+                wait = deadline - time.monotonic()
+                if wait <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=wait)
+                except queue.Empty:
+                    break
+                if nxt is None:  # close(): serve what we have, then exit
+                    self._closing = True
+                    break
+                batch.append(nxt)
+                total += nxt.xs.shape[0]
+            self._run_batch(batch)
+            if self._closing:
+                return
+
+    def _run_batch(self, batch: list[_Work]) -> None:
+        try:
+            xs = np.concatenate([w.xs for w in batch], axis=0)
+            sp = (np.concatenate([w.sp for w in batch], axis=0)
+                  if batch[0].sp is not None else None)
+            n = xs.shape[0]
+            out, start = [], 0
             while start < n:
                 remaining = n - start
                 bucket = next((b for b in self.buckets if b >= remaining),
@@ -102,10 +172,21 @@ class EmbedService:
                 if sp is not None:
                     spb = np.ones((bucket, 3), np.float32)
                     spb[:take] = sp[start:start + take]
-                emb = np.asarray(self._forward(xb, spb), np.float32)
-                out.append(emb[:take])
+                out.append(np.asarray(self._forward(xb, spb), np.float32)[:take])
                 start += take
-        return np.concatenate(out, axis=0)
+                self.stats["forwards"] += 1
+            emb = np.concatenate(out, axis=0)
+            self.stats["requests"] += len(batch)
+            self.stats["images"] += n
+            pos = 0
+            for w in batch:
+                k = w.xs.shape[0]
+                w.future.set_result(emb[pos:pos + k])
+                pos += k
+        except BaseException as e:  # noqa: BLE001 — propagate to every waiter
+            for w in batch:
+                if not w.future.done():
+                    w.future.set_exception(e)
 
 
 def make_handler(service: EmbedService):
@@ -131,6 +212,7 @@ def make_handler(service: EmbedService):
                 "model": {"dim": m.dim, "img_size": m.img_size,
                           "scale_aware": m.scale_aware},
                 "buckets": service.buckets,
+                "stats": dict(service.stats),
             })
 
         def do_POST(self):
@@ -164,9 +246,14 @@ def main(argv=None) -> int:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--buckets", type=int, nargs="+", default=[1, 8, 32])
+    p.add_argument("--batch-window-ms", type=float, default=6.0,
+                   help="cross-request coalescing window: after the first "
+                        "queued request, wait up to this long to fuse "
+                        "concurrent requests into one forward (0 disables)")
     args = p.parse_args(argv)
 
-    service = EmbedService(args.backbone, args.buckets)
+    service = EmbedService(args.backbone, args.buckets,
+                           batch_window_ms=args.batch_window_ms)
     service.warmup()
     server = ThreadingHTTPServer((args.host, args.port), make_handler(service))
     print(f"serving on http://{args.host}:{server.server_address[1]} "
@@ -177,6 +264,7 @@ def main(argv=None) -> int:
     except KeyboardInterrupt:
         print("shutting down", flush=True)
         server.shutdown()
+        service.close()
     return 0
 
 

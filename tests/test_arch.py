@@ -136,7 +136,8 @@ def test_dtype_policy(dtype):
 
 def test_gelu_approx_flag():
     """gelu_approx changes only the MLP nonlinearity: same params/checkpoint,
-    close-but-not-identical outputs; default remains exact (torch parity)."""
+    close-but-not-identical outputs. The native default is tanh; torch-parity
+    (reference-imported) configs run exact erf."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -147,10 +148,23 @@ def test_gelu_approx_flag():
     cfg = ModelConfig(name="t", img_size=32, patch=16, dim=64, depth=2, heads=2,
                       out_dim=128, scale_aware=False, attn_impl="xla",
                       dtype="float32")
+    assert cfg.gelu_approx, "native default must be the tanh GELU"
     params = init_backbone(cfg, jax.random.key(0))
     x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32, 32, 3)),
                     jnp.float32)
-    exact = PatchViT(cfg).apply({"params": params}, x, None)
-    approx = PatchViT(cfg.replace(gelu_approx=True)).apply({"params": params}, x, None)
+    approx = PatchViT(cfg).apply({"params": params}, x, None)
+    exact = PatchViT(cfg.replace(gelu_approx=False)).apply({"params": params}, x, None)
     assert not np.allclose(np.asarray(exact), np.asarray(approx), atol=1e-7)
     np.testing.assert_allclose(np.asarray(exact), np.asarray(approx), atol=5e-2)
+
+
+def test_gelu_variant_follows_checkpoint_provenance():
+    """Reference-format loads (no gelu_approx in config) resolve to exact erf;
+    native hub exports carry the field so tanh models round-trip as tanh."""
+    from dinox_tpu.models.config import HUB_DEFAULT_CONFIG
+    from dinox_tpu.zoo.hub import _cfg_from_dict
+
+    assert HUB_DEFAULT_CONFIG["gelu_approx"] is False
+    assert _cfg_from_dict({"dim": 384, "depth": 12, "heads": 6}).gelu_approx is False
+    assert _cfg_from_dict({"dim": 384, "depth": 12, "heads": 6,
+                           "gelu_approx": True}).gelu_approx is True

@@ -230,6 +230,9 @@ def test_train_loader_multihost_keeps_neighbor_context(index_tree):
     batch_a = next(iter(a))
     batch_b = next(iter(b))
     a.close(); b.close()
+    # the hosts' epoch shards must not overlap: same seed, different host_id
+    # -> disjoint row indices
+    assert set(batch_a.indices.tolist()) & set(batch_b.indices.tolist()) == set()
     # interior slices must have distinct z-1/z/z+1 planes (not center copies)
     for batch in (batch_a, batch_b):
         distinct = [

@@ -81,14 +81,19 @@ def test_dicom_stop_before_pixels(tmp_path):
 
 
 def test_dicom_rejects_compressed_syntax(tmp_path):
-    """A file advertising a JPEG transfer syntax must be rejected loudly."""
+    """A file advertising a JPEG transfer syntax must be rejected loudly,
+    naming the syntax and its family plus a conversion hint."""
+    from dinox_tpu.data.dicom import UnsupportedTransferSyntaxError
+
     px = np.zeros((4, 4), np.int16)
     p = tmp_path / "s.dcm"
     write_dicom(p, px)
     raw = bytearray(p.read_bytes())
-    raw = raw.replace(b"1.2.840.10008.1.2.1\x00", b"1.2.840.10008.1.2.4\x00")
+    # same-length UID swap keeps the meta-group length valid
+    raw = raw.replace(b"1.2.840.10008.1.2.1\x00", b"1.2.840.10008.1.2.5\x00")
     p.write_bytes(bytes(raw))
-    with pytest.raises(ValueError, match="transfer syntax"):
+    with pytest.raises(UnsupportedTransferSyntaxError,
+                       match=r"1\.2\.840\.10008\.1\.2\.5 \(RLE Lossless\)"):
         read_dicom(p)
 
 

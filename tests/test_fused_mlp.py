@@ -15,6 +15,10 @@ from dinox_tpu.ops.fused_mlp import fused_mlp_block, mlp_block_reference
 CFG = ModelConfig(
     name="t", img_size=28, patch=14, dim=32, depth=2, heads=2,
     num_registers=2, scale_aware=True, attn_impl="xla", dtype="float32",
+    # fused_mlp_block hard-wires the exact erf GELU; pin the config to exact
+    # so the fused path is actually taken (TransformerBlock routes tanh-GELU
+    # configs to the unfused Mlp).
+    gelu_approx=False,
 )
 
 

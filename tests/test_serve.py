@@ -43,6 +43,7 @@ def server(tmp_path_factory):
     t.start()
     yield f"http://127.0.0.1:{httpd.server_address[1]}", service
     httpd.shutdown()
+    service.close()
 
 
 def _post(url, payload):
@@ -97,3 +98,45 @@ def test_embed_missing_spacing_rejected(server):
     url, _ = server
     code, body = _post(url, {"images": [[[0.0] * 32] * 32]})
     assert code == 400 and "spacings" in body["error"]
+
+
+def test_concurrent_requests_coalesce_into_one_forward(tmp_path):
+    """N concurrent 1-image clients must share forwards: the dispatcher
+    coalesces queued requests within the batch window instead of running N
+    sequential lock-serialized forwards."""
+    hub_dir = tmp_path / "hub"
+    model = LoadedModel(TINY, init_backbone(TINY, jax.random.key(0)))
+    export_hub_checkpoint(model, hub_dir)
+    serve = _load_serve()
+    # generous window: the assertion must hold on a loaded 1-CPU host
+    service = serve.EmbedService(str(hub_dir), buckets=[4],
+                                 batch_window_ms=500.0)
+    try:
+        rng = np.random.default_rng(2)
+        imgs = rng.uniform(-100, 400, (4, 32, 32)).astype(np.float32)
+        sp = [1.0, 1.0, 2.0]
+        # solo reference BEFORE the race (its own forward)
+        solo = service.embed([imgs[3]], [sp])
+        base_forwards = service.stats["forwards"]
+        results = [None] * 4
+        barrier = threading.Barrier(4)
+
+        def client(i):
+            barrier.wait()
+            results[i] = service.embed([imgs[i]], [sp])
+
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert all(r is not None for r in results)
+        made = service.stats["forwards"] - base_forwards
+        served = 4
+        assert made < served, (
+            f"no coalescing: {made} forwards for {served} concurrent requests"
+        )
+        # fused-batch results must match a solo forward (padding invariance)
+        np.testing.assert_allclose(results[3][0], solo[0], atol=1e-5)
+    finally:
+        service.close()
