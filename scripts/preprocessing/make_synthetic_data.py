@@ -51,7 +51,18 @@ def synth_series(rng: np.random.Generator, n_slices: int, size: int, base_hu: fl
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--out", type=Path, required=True)
-    p.add_argument("--datasets", nargs="+", default=["dsa", "dsb"])
+    p.add_argument("--datasets", nargs="+", default=None,
+                   help="dataset names. Names matching a v2 profile "
+                        "(lidc_like, mayo_like, pancreas_like, cq500_like, "
+                        "colon_like) use that profile's structural signature; "
+                        "other names fall back to the legacy intensity-offset "
+                        "generator. Default: dsa dsb (legacy) or the five v2 "
+                        "profiles with --five-datasets.")
+    p.add_argument("--five-datasets", action="store_true",
+                   help="generate the five v2 CT-catalog-like profiles "
+                        "(dinox_tpu/data/synthetic.py) — the same "
+                        "distribution the on-device staged generator "
+                        "trains on, for same-domain eval sets")
     p.add_argument("--series-per-dataset", type=int, default=4)
     p.add_argument("--slices-per-series", type=int, default=12)
     p.add_argument("--size", type=int, default=128)
@@ -63,18 +74,38 @@ def main(argv=None) -> int:
 
     from dinox_tpu.data.hu import encode_hu16
     from dinox_tpu.data.index import IndexRow, make_split_manifest, write_index_rows
+    from dinox_tpu.data.synthetic import (
+        PROFILES_V2,
+        draw_spacing,
+        synth_series_np,
+        synth_two_organ_series_np,
+    )
+
+    profiles_by_name = {prof.name: prof for prof in PROFILES_V2}
+    if args.datasets is None:
+        args.datasets = (list(profiles_by_name) if args.five_datasets
+                         else ["dsa", "dsb"])
 
     rng = np.random.default_rng(args.seed)
     rows: list[IndexRow] = []
     for di, ds in enumerate(args.datasets):
-        base_hu = -100.0 + 120.0 * di  # distinct per-dataset intensity stats
+        prof = profiles_by_name.get(ds)
+        base_hu = -100.0 + 120.0 * di  # legacy: distinct intensity stats only
         for s in range(args.series_per_dataset):
-            spacing = (
-                float(rng.uniform(0.4, 1.0)),
-                float(rng.uniform(0.4, 1.0)),
-                float(rng.uniform(0.6, 5.0)),
-            )
-            vol = synth_series(rng, args.slices_per_series, args.size, base_hu)
+            if ds in ("organa", "organb"):
+                # same-domain twin of the device two-organ MVP generator
+                vol, spacing = synth_two_organ_series_np(
+                    ds, rng, args.slices_per_series, args.size)
+            elif prof is not None:
+                spacing = draw_spacing(prof, rng)
+                vol = synth_series_np(prof, rng, args.slices_per_series, args.size)
+            else:
+                spacing = (
+                    float(rng.uniform(0.4, 1.0)),
+                    float(rng.uniform(0.4, 1.0)),
+                    float(rng.uniform(0.6, 5.0)),
+                )
+                vol = synth_series(rng, args.slices_per_series, args.size, base_hu)
             series_dir = f"{ds}/series{s:03d}"
             for z in range(args.slices_per_series):
                 path = args.out / series_dir / f"{z:04d}.png"

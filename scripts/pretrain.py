@@ -78,6 +78,14 @@ def parse_args(argv=None):
     p.add_argument("--koleo-weight", type=float, default=0.0)
     p.add_argument("--crop-scale-min", type=float, default=0.3)
     p.add_argument("--crop-scale-max", type=float, default=1.0)
+    p.add_argument("--mu-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="AdamW first-moment storage dtype (math stays f32)")
+    p.add_argument("--nu-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="AdamW second-moment storage dtype — required for "
+                        "ViT-Giant on one 16GB chip; see the round-3 "
+                        "moment-dtype validation in docs/EXPERIMENTS.md")
     p.add_argument("--seed", type=int, default=0)
     # data
     p.add_argument("--z-stride", type=int, default=1)
@@ -133,25 +141,6 @@ class SyntheticBatches:
             i += 1
 
 
-# Per-dataset generation profiles for the multi-dataset synthetic mode:
-# (mean_HU, std_HU, spacing_min[3], spacing_max[3], fine_mix) chosen to echo
-# the five CT catalog entries (thin-slice lung, abdomen, head, low-dose
-# chest, colon) — distinct intensity stats, dataset-CORRELATED spacing, and
-# distinct texture scale (fine_mix blends coarse vs fine blob fields), so
-# domain clustering / dataset discrimination / scale awareness all have
-# signal, like the on-disk generator in preprocessing/make_synthetic_data.py.
-SYNTH_DATASET_PROFILES = [
-    # mean,  std, sp_min,            sp_max,            fine_mix
-    (-600.0, 300.0, (0.50, 0.50, 1.0), (1.00, 1.00, 1.5), 0.80),  # lung-like
-    (+40.0, 120.0, (0.60, 0.60, 2.5), (0.90, 0.90, 5.0), 0.35),  # abdomen
-    (+200.0, 500.0, (0.40, 0.40, 4.0), (0.50, 0.50, 6.0), 0.15),  # head
-    (-500.0, 350.0, (0.60, 0.60, 1.0), (0.80, 0.80, 3.0), 0.60),  # low-dose chest
-    (0.0, 150.0, (0.70, 0.70, 3.0), (1.00, 1.00, 5.0), 0.45),  # colon
-]
-# Temperature-style (T=2) sampling weights over descending dataset sizes.
-SYNTH_DATASET_WEIGHTS = [0.36, 0.22, 0.18, 0.14, 0.10]
-
-
 class DeviceSyntheticBatches:
     """Pre-staged ON-DEVICE synthetic batches, cycled.
 
@@ -160,8 +149,8 @@ class DeviceSyntheticBatches:
     MVP ablation, the 50K five-dataset run) generate their data on the chip
     instead. n_datasets=2 keeps the original two-organ MVP generator
     bit-for-bit (organ A ~ thin-slice lung CT, organ B ~ thick-slice
-    abdomen); n_datasets>2 samples SYNTH_DATASET_PROFILES with
-    temperature-style weights.
+    abdomen); n_datasets=5 samples the shared v2 CT-catalog profiles
+    (dinox_tpu/data/synthetic.py) with temperature-style weights.
     """
 
     def __init__(self, n_batches, batch_size, accum, canvas, seed=0, n_datasets=2):
@@ -190,37 +179,19 @@ class DeviceSyntheticBatches:
             return (pixels.reshape(accum, batch_size, canvas, canvas, 3),
                     spacing.reshape(accum, batch_size, 3))
 
-        prof = SYNTH_DATASET_PROFILES[:n_datasets]
-        mean_t = jnp.asarray([32768.0 + m for m, *_ in prof])
-        std_t = jnp.asarray([s for _, s, *_ in prof])
-        sp_min_t = jnp.asarray([p[2] for p in prof])
-        sp_max_t = jnp.asarray([p[3] for p in prof])
-        mix_t = jnp.asarray([p[4] for p in prof])
-        w = np.asarray(SYNTH_DATASET_WEIGHTS[:n_datasets])
-        weights = jnp.asarray(w / w.sum())
+        # v2 five-profile generator with window-invariant STRUCTURAL
+        # signatures (dinox_tpu/data/synthetic.py) — shared with the on-disk
+        # writer so eval sets are same-domain (round-3; v1's intensity-only
+        # profiles collapsed post-windowing, probe 0.40).
+        from dinox_tpu.data.synthetic import make_jax_batch_fn
 
-        @jax.jit
+        if n_datasets != 5 and n_datasets != 2:
+            raise ValueError("--synthetic-datasets must be 2 (two-organ MVP) "
+                             "or 5 (v2 CT-catalog profiles)")
+        v2 = jax.jit(make_jax_batch_fn(canvas, n))
+
         def make_multi(key):
-            k_ds, k_coarse, k_fine, k_sp = jax.random.split(key, 4)
-            ds = jax.random.choice(k_ds, n_datasets, (n,), p=weights)
-            # bf16 fields halve the transient HBM footprint during staging
-            # (the resident staged batches already take most of the chip)
-            coarse = jax.image.resize(
-                jax.random.normal(k_coarse, (n, canvas // 32, canvas // 32, 3),
-                                  jnp.bfloat16),
-                (n, canvas, canvas, 3), "linear")
-            fine = jax.image.resize(
-                jax.random.normal(k_fine, (n, canvas // 8, canvas // 8, 3),
-                                  jnp.bfloat16),
-                (n, canvas, canvas, 3), "linear")
-            mix = mix_t[ds][:, None, None, None].astype(jnp.bfloat16)
-            img = (1.0 - mix) * coarse + mix * fine
-            mean = mean_t[ds][:, None, None, None]
-            std = std_t[ds][:, None, None, None]
-            pixels = jnp.clip(mean + img.astype(jnp.float32) * std,
-                              0.0, 65535.0).astype(jnp.uint16)
-            u = jax.random.uniform(k_sp, (n, 3))
-            spacing = (sp_min_t[ds] + u * (sp_max_t[ds] - sp_min_t[ds])).astype(jnp.float32)
+            pixels, spacing, _ds = v2(key)
             return (pixels.reshape(accum, batch_size, canvas, canvas, 3),
                     spacing.reshape(accum, batch_size, 3))
 
@@ -309,6 +280,8 @@ def main(argv=None) -> int:
         koleo_weight=args.koleo_weight,
         crop_scale_min=args.crop_scale_min,
         crop_scale_max=args.crop_scale_max,
+        mu_dtype=args.mu_dtype,
+        nu_dtype=args.nu_dtype,
         train_seed=args.seed,
     )
 
