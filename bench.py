@@ -32,14 +32,15 @@ BASELINE_SLICES_PER_S = 159.0  # RTX 3090 Ti, docs/EXPERIMENTS.md:531-533
 
 
 def bench_train_step(batch_size: int, steps: int = 20, warmup: int = 5,
-                     gelu_approx: bool = False) -> float:
+                     gelu_approx: bool = False, fused_attn: bool = False) -> float:
     from dinox_tpu.models.config import MODEL_CONFIGS
     from dinox_tpu.train.state import TrainConfig, create_train_state
     from dinox_tpu.train.step import build_train_step
 
     cfg = TrainConfig(
         model=MODEL_CONFIGS["vit-small"].replace(
-            scale_aware=True, attn_impl="pallas", gelu_approx=gelu_approx),
+            scale_aware=True, attn_impl="pallas", gelu_approx=gelu_approx,
+            fused_attn=fused_attn),
         batch_size=batch_size,
         koleo_weight=0.1,
         warmup_steps=100,
@@ -113,6 +114,27 @@ def check_kernels() -> int:
     good = f_err < 0.02
     ok &= good
     print(f"# unpacked fwd_err={f_err:.3e} {'OK' if good else 'FAIL'}", file=sys.stderr)
+
+    # fused half-block: Mosaic-compiled fwd vs the composed XLA+packed path
+    from dinox_tpu.ops.fused_attn_block import _call_fused, _xla_half_block
+
+    dim, heads = 384, 6
+    xh = jax.device_put((rng.normal(size=(8, 261, dim)) * 0.5
+                         ).astype(np.float32)).astype(jnp.bfloat16)
+    gm = jax.device_put(1 + 0.1 * rng.normal(size=(dim,)).astype(np.float32))
+    bt = jax.device_put(0.1 * rng.normal(size=(dim,)).astype(np.float32))
+    wq = jax.device_put((rng.normal(size=(dim, 3 * dim)) * 0.05).astype(np.float32))
+    bq = jax.device_put(0.02 * rng.normal(size=(3 * dim,)).astype(np.float32))
+    wp = jax.device_put((rng.normal(size=(dim, dim)) * 0.05).astype(np.float32))
+    bp = jax.device_put(0.02 * rng.normal(size=(dim,)).astype(np.float32))
+    yf = jax.jit(lambda *a: _call_fused(*a, heads))(xh, gm, bt, wq, bq, wp, bp)[0]
+    yc = jax.jit(lambda *a: _xla_half_block(*a, heads))(xh, gm, bt, wq, bq, wp, bp)[0]
+    fb_err = float(jnp.max(jnp.abs(
+        yf.astype(jnp.float32) - yc.astype(jnp.float32))))
+    good = fb_err < 0.05
+    ok &= good
+    print(f"# fused half-block err={fb_err:.3e} {'OK' if good else 'FAIL'}",
+          file=sys.stderr)
     print(json.dumps({"metric": "pallas_kernel_check", "value": 1 if ok else 0,
                       "unit": "pass", "vs_baseline": 1 if ok else 0}))
     return 0 if ok else 1
@@ -131,17 +153,22 @@ def main() -> int:
     # reference's own default-config number (BASELINE.md, erf/torch) — each
     # framework measured at its shipping default.
     rates = {}
-    for name, approx in (("exact", False), ("tanh", True)):
+    for name, approx, fused in (
+        ("exact", False, False),
+        ("tanh", True, False),
+        ("tanh+fused_attn", True, True),
+    ):
         for bs in (128,):  # sweep showed bs128 > bs256 on one v5e chip
             try:
-                rate = bench_train_step(bs, gelu_approx=approx)
+                rate = bench_train_step(bs, gelu_approx=approx, fused_attn=fused)
             except Exception as e:  # OOM: keep the best smaller one
                 print(f"# {name} batch {bs} failed: {type(e).__name__}: {e}",
                       file=sys.stderr)
                 continue
             print(f"# gelu={name} batch={bs}: {rate:.1f} slices/s", file=sys.stderr)
             rates[name] = max(rates.get(name, 0.0), rate)
-    best = rates.get("tanh", 0.0) or rates.get("exact", 0.0)
+    best = max(rates.get("tanh", 0.0), rates.get("tanh+fused_attn", 0.0)) \
+        or rates.get("exact", 0.0)
     print(
         json.dumps(
             {
@@ -151,6 +178,8 @@ def main() -> int:
                 "vs_baseline": round(best / BASELINE_SLICES_PER_S, 2),
                 "gelu": "tanh" if rates.get("tanh") else "exact",
                 "exact_gelu_slices_per_sec": round(rates.get("exact", 0.0), 1),
+                "fused_attn_slices_per_sec": round(
+                    rates.get("tanh+fused_attn", 0.0), 1),
             }
         )
     )

@@ -37,6 +37,10 @@ class ModelConfig:
     # (ops/fused_mlp.py). Identical params/checkpoints; ignored when LoRA is
     # active (adapters need the unfused Dense path).
     fused_mlp: bool = False
+    # Fused LN->QKV->attention->proj->residual half-block Pallas kernel
+    # (ops/fused_attn_block.py). Identical params/checkpoints; ignored with
+    # LoRA, non-pallas attn_impl, or a multi-device mesh (TP shard_map path).
+    fused_attn: bool = False
     # MLP nonlinearity. Natively-trained models default to the tanh-approximate
     # GELU (flax's own default; quality-validated against the exact arm on the
     # two-organ MVP anchor — docs/EXPERIMENTS.md `mvp_gelu_tanh`, +23% step

@@ -210,6 +210,20 @@ class _MlpParams(nn.Module):
         )
 
 
+class _AttnParams(nn.Module):
+    """qkv/proj params at the standard checkpoint paths, no compute (the
+    fused half-block kernel consumes them directly)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            _DenseParams(self.dim, 3 * self.dim, name="qkv")(),
+            _DenseParams(self.dim, self.dim, name="proj")(),
+        )
+
+
 class TransformerBlock(nn.Module):
     """Pre-norm transformer block (reference: zoo/arch.py:84-97)."""
 
@@ -220,16 +234,31 @@ class TransformerBlock(nn.Module):
     dtype: Dtype = jnp.float32
     lora: tuple = ()
     fused_mlp: bool = False
+    fused_attn: bool = False
     gelu_approx: bool = False
     mesh: Optional[Mesh] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         ln = partial(nn.LayerNorm, epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32)
-        x = x + Attention(
-            self.dim, self.heads, attn_impl=self.attn_impl, dtype=self.dtype,
-            lora=self.lora, mesh=self.mesh, name="attn",
-        )(ln(name="norm1")(x), train=train)
+        # Fused half-block kernel: LN1 -> QKV -> attention -> proj -> +res in
+        # one VMEM-resident pass (ops/fused_attn_block.py). Same params /
+        # checkpoint paths; excluded under LoRA (adapters need the Dense
+        # path) and under a real mesh (the shard_map TP path applies).
+        if (self.fused_attn and not self.lora and self.attn_impl == "pallas"
+                and not _is_multidevice(self.mesh)):
+            from dinox_tpu.ops.fused_attn_block import fused_attn_block
+
+            g, b = _LnParams(self.dim, name="norm1")()
+            (wqkv, bqkv), (wproj, bproj) = _AttnParams(self.dim, name="attn")()
+            x = fused_attn_block(
+                x.astype(self.dtype), g, b, wqkv, bqkv, wproj, bproj, self.heads
+            )
+        else:
+            x = x + Attention(
+                self.dim, self.heads, attn_impl=self.attn_impl, dtype=self.dtype,
+                lora=self.lora, mesh=self.mesh, name="attn",
+            )(ln(name="norm1")(x), train=train)
         # fused_mlp_block hard-wires the exact erf GELU; route tanh-GELU
         # configs to the unfused path (like the LoRA exclusion) rather than
         # silently computing a different nonlinearity than configured.
@@ -318,7 +347,8 @@ class PatchViT(nn.Module):
             TransformerBlock(
                 cfg.dim, cfg.heads, cfg.mlp_ratio,
                 attn_impl=cfg.attn_impl, dtype=dtype, lora=lora,
-                fused_mlp=cfg.fused_mlp, gelu_approx=cfg.gelu_approx,
+                fused_mlp=cfg.fused_mlp, fused_attn=cfg.fused_attn,
+                gelu_approx=cfg.gelu_approx,
                 mesh=self.mesh,
             )
             for _ in range(cfg.depth)

@@ -57,6 +57,9 @@ def parse_args(argv=None):
     p.add_argument("--gelu-approx", action="store_true",
                    help=argparse.SUPPRESS)  # deprecated alias for --gelu tanh
     p.add_argument("--grad-checkpoint", action="store_true")
+    p.add_argument("--fused-attn", action="store_true",
+                   help="fused LN->QKV->attention->proj half-block Pallas "
+                        "kernel (ops/fused_attn_block.py)")
     # training
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--accumulation-steps", type=int, default=1)
@@ -259,6 +262,7 @@ def main(argv=None) -> int:
         scale_aware=args.scale_aware,
         attn_impl=args.attn_impl,
         use_grad_checkpoint=args.grad_checkpoint,
+        fused_attn=args.fused_attn,
         gelu_approx=args.gelu_approx or args.gelu == "tanh",
     )
     cfg = TrainConfig(
