@@ -121,9 +121,12 @@ def _load_pretrain_module():
 
 
 def test_device_synthetic_batches_multi_dataset():
-    """The 5-profile generator yields dataset-correlated stats: the spacing
-    distribution must span the thin-slice (z<=1.5) and thick-slice (z>=2.5)
-    profiles, and per-sample HU means must form multiple intensity modes."""
+    """The 5-profile v2 generator yields dataset-correlated stats: the
+    spacing distribution must span thin-slice (z<=1.6) and thick-slice
+    (z>=2.4) draws, and per-sample HU means must form multiple intensity
+    modes (v2 separability itself is covered by tests/test_synthetic.py's
+    post-window probe — the intensity spread here is just a cheap
+    diversity check)."""
     mod = _load_pretrain_module()
     gen = mod.DeviceSyntheticBatches(
         n_batches=2, batch_size=32, accum=1, canvas=32, seed=3, n_datasets=5
@@ -137,11 +140,12 @@ def test_device_synthetic_batches_multi_dataset():
     sp_z = np.asarray(batch.spacing)[0, :, 2]
     assert (sp_z <= 1.6).any() and (sp_z >= 2.4).any()
 
-    # per-sample mean HU (decoded) separates the lung-like (-600) and
-    # soft-tissue (~0..+200) profiles
+    # per-sample mean HU (decoded): lung-like (-600 bg) vs soft-tissue
+    # (+40/+30 bg) profiles still differ in the body interior, so the means
+    # must spread by >150 HU even under the v2 air mask
     hu = np.asarray(batch.pixels[0], np.float32) - 32768.0
     means = hu.mean(axis=(1, 2, 3))
-    assert means.min() < -300 and means.max() > -150
+    assert means.max() - means.min() > 150.0
 
     # deterministic under the same seed
     gen2 = mod.DeviceSyntheticBatches(
