@@ -76,7 +76,9 @@ def _fused_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
 
 def _pick_group(b: int, n: int, dim: int, itemsize: int) -> int:
     """Largest group whose double-buffered row blocks (x, y, qkv, attn) plus
-    the resident weights and (n, n) scratch stay within ~12 MB of VMEM."""
+    the resident weights and (n, n) scratch stay within ~12 MB of VMEM.
+    Returns 0 when even group=1 cannot fit (ViT-Giant: the bf16 qkv+proj
+    weights alone are ~16 MB) — callers fall back to the composed path."""
     weights = (dim * 3 * dim + dim * dim) * itemsize + 6 * dim * 4
     scratch = n * n * 4
     for g in (8, 4, 2, 1):
@@ -85,7 +87,13 @@ def _pick_group(b: int, n: int, dim: int, itemsize: int) -> int:
         rows = 2 * g * n * (dim + dim + 3 * dim + dim) * itemsize
         if weights + scratch + rows <= 12 * 1024 * 1024:
             return g
-    return 1
+    return 0
+
+
+def _fits_fused(x) -> bool:
+    b, n, dim = x.shape
+    return (n <= MAX_SINGLE_BLOCK_SEQ
+            and _pick_group(b, n, dim, x.dtype.itemsize) > 0)
 
 
 def _call_fused(x, gamma, beta, wqkv, bqkv, wproj, bproj, heads: int):
@@ -154,15 +162,17 @@ def fused_attn_block(x, gamma, beta, wqkv, bqkv, wproj, bproj, heads: int):
     """y = x + proj(attention(qkv(LN(x)))) with one VMEM-resident pass.
 
     x: (B, N, dim) bf16; LN params f32 (dim,); wqkv (dim, 3*dim); wproj
-    (dim, dim); biases f32. Returns (B, N, dim) in x.dtype.
+    (dim, dim); biases f32. Returns (B, N, dim) in x.dtype. Falls back to
+    the composed path beyond the sequence budget or when the weights +
+    minimum blocks overflow VMEM (ViT-Giant dims).
     """
-    if x.shape[1] > MAX_SINGLE_BLOCK_SEQ:
+    if not _fits_fused(x):
         return _xla_half_block(x, gamma, beta, wqkv, bqkv, wproj, bproj, heads)[0]
     return _call_fused(x, gamma, beta, wqkv, bqkv, wproj, bproj, heads)[0]
 
 
 def _fwd_rule(x, gamma, beta, wqkv, bqkv, wproj, bproj, heads):
-    if x.shape[1] > MAX_SINGLE_BLOCK_SEQ:
+    if not _fits_fused(x):
         y, qkv, attn = _xla_half_block(x, gamma, beta, wqkv, bqkv, wproj,
                                        bproj, heads)
     else:
