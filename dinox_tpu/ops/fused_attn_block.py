@@ -188,10 +188,12 @@ def _bwd_rule(heads, res, dy):
     # out-projection
     d_attn = jnp.dot(dyb, wproj.astype(x.dtype).T,
                      preferred_element_type=jnp.float32).astype(x.dtype)
+    # wgrads keep bf16 operands with f32 MXU accumulation (the unfused
+    # Dense path's numerics; f32xf32 would halve the MXU rate)
     flat_attn = attn.reshape(-1, dim)
-    flat_dy = dy.reshape(-1, dim).astype(jnp.float32)
-    dwproj = jnp.dot(flat_attn.astype(jnp.float32).T, flat_dy)
-    dbproj = jnp.sum(flat_dy, axis=0)
+    flat_dy = dy.reshape(-1, dim).astype(x.dtype)
+    dwproj = jnp.dot(flat_attn.T, flat_dy, preferred_element_type=jnp.float32)
+    dbproj = jnp.sum(dy.reshape(-1, dim).astype(jnp.float32), axis=0)
     # attention backward (packed kernel; XLA fallback beyond seq budget)
     if n > MAX_SINGLE_BLOCK_SEQ:
         from dinox_tpu.ops.flash_attention import _xla_sdpa_packed
@@ -210,8 +212,7 @@ def _bwd_rule(heads, res, dy):
     ln = (xhat * g32 + beta.astype(jnp.float32)).astype(x.dtype)
     flat_ln = ln.reshape(-1, dim)
     flat_dqkv = dqkv.reshape(-1, 3 * dim)
-    dwqkv = jnp.dot(flat_ln.astype(jnp.float32).T,
-                    flat_dqkv.astype(jnp.float32))
+    dwqkv = jnp.dot(flat_ln.T, flat_dqkv, preferred_element_type=jnp.float32)
     dbqkv = jnp.sum(flat_dqkv.astype(jnp.float32), axis=0)
     dln = jnp.dot(dqkv, wqkv.astype(x.dtype).T,
                   preferred_element_type=jnp.float32)
