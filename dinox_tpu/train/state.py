@@ -60,6 +60,13 @@ class TrainConfig:
     # Moment math always runs in f32; only storage is cast.
     mu_dtype: str = "float32"
     nu_dtype: str = "float32"
+    # Adafactor-style factored second moment: store per-row/per-column EMAs
+    # of g^2 (f32) for >=2-D params instead of the full nu buffer — ~n+m
+    # floats instead of n*m, so nu memory is ~free at any model scale. The
+    # update is still Adam (b1 momentum, bias correction, eps); only nu's
+    # storage is rank-1 factored. The memory-safe alternative to
+    # nu_dtype="bfloat16" that keeps full-precision adaptive scaling.
+    factored_nu: bool = False
 
     @property
     def effective_batch_size(self) -> int:
@@ -97,16 +104,21 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 
         return get_lr_jnp(count, cfg.max_steps, cfg.warmup_steps, cfg.lr, cfg.min_lr)
 
-    if cfg.nu_dtype == "float32":
+    if cfg.factored_nu:
+        inner = _scale_by_adam_factored(
+            b1=0.9, b2=0.999, eps=1e-8, mu_dtype=jnp.dtype(cfg.mu_dtype))
+    elif cfg.nu_dtype == "float32":
         return optax.adamw(
             learning_rate=sched, b1=0.9, b2=0.999, eps=1e-8,
             weight_decay=cfg.weight_decay, mu_dtype=jnp.dtype(cfg.mu_dtype),
         )
-    return optax.chain(
-        _scale_by_adam_lowp(
+    else:
+        inner = _scale_by_adam_lowp(
             b1=0.9, b2=0.999, eps=1e-8,
             mu_dtype=jnp.dtype(cfg.mu_dtype), nu_dtype=jnp.dtype(cfg.nu_dtype),
-        ),
+        )
+    return optax.chain(
+        inner,
         optax.add_decayed_weights(cfg.weight_decay),
         optax.scale_by_learning_rate(sched),
     )
@@ -147,6 +159,78 @@ def _scale_by_adam_lowp(
         nu = jax.tree_util.tree_map(lambda t: t[2], flat,
                                     is_leaf=lambda x: isinstance(x, tuple))
         return steps, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
+def _scale_by_adam_factored(
+    b1: float, b2: float, eps: float, mu_dtype: jnp.dtype
+) -> optax.GradientTransformation:
+    """Adam whose second moment is stored rank-1 factored for >=2-D params
+    (Adafactor's nonnegative-matrix factorization, Shazeer & Stern 2018):
+    per-row and per-column EMAs of g^2 over the trailing two axes, recombined
+    as v_ij ~= r_i * c_j / mean(r). Exact for rank-1 |g| structure; in
+    practice tracks full Adam closely while making nu's memory ~n+m instead
+    of n*m. 1-D params (biases, LayerNorm) keep a full f32 nu. The rest of
+    the update is standard Adam: b1 momentum (storable in bf16 via mu_dtype),
+    bias correction, sqrt, eps."""
+
+    def _factored(p) -> bool:
+        return p.ndim >= 2
+
+    def init(params):
+        def nu0(p):
+            if _factored(p):
+                return {
+                    "r": jnp.zeros(p.shape[:-1], jnp.float32),
+                    "c": jnp.zeros(p.shape[:-2] + p.shape[-1:], jnp.float32),
+                }
+            return jnp.zeros_like(p, jnp.float32)
+
+        return optax.ScaleByAdamState(
+            count=jnp.zeros((), jnp.int32),
+            mu=jax.tree_util.tree_map(lambda p: jnp.zeros_like(p, mu_dtype), params),
+            nu=jax.tree_util.tree_map(nu0, params),
+        )
+
+    def update(grads, state, params=None):
+        del params
+        count = state.count + 1
+        c1 = 1.0 - b1 ** count.astype(jnp.float32)
+        c2 = 1.0 - b2 ** count.astype(jnp.float32)
+
+        g_flat, treedef = jax.tree_util.tree_flatten(grads)
+        mu_flat = treedef.flatten_up_to(state.mu)
+        nu_flat = treedef.flatten_up_to(state.nu)
+
+        steps, mus, nus = [], [], []
+        for g, mu, nu in zip(g_flat, mu_flat, nu_flat):
+            g = g.astype(jnp.float32)
+            mu_f = b1 * mu.astype(jnp.float32) + (1.0 - b1) * g
+            g2 = g * g
+            if _factored(g):
+                r = b2 * nu["r"] + (1.0 - b2) * jnp.mean(g2, axis=-1)
+                c = b2 * nu["c"] + (1.0 - b2) * jnp.mean(g2, axis=-2)
+                # v_ij ~= r_i c_j / mean(r); mean(r) == mean(c) == mean EMA
+                # of g^2, so the reconstruction is properly normalized.
+                denom = jnp.maximum(jnp.mean(r, axis=-1, keepdims=True), 1e-30)
+                nu_f = r[..., :, None] * (c / denom)[..., None, :]
+                nu_new = {"r": r, "c": c}
+            else:
+                nu_f = b2 * nu + (1.0 - b2) * g2
+                nu_new = nu_f
+            steps.append((mu_f / c1) / (jnp.sqrt(nu_f / c2) + eps))
+            mus.append(mu_f.astype(mu_dtype))
+            nus.append(nu_new)
+
+        return (
+            jax.tree_util.tree_unflatten(treedef, steps),
+            optax.ScaleByAdamState(
+                count=count,
+                mu=jax.tree_util.tree_unflatten(treedef, mus),
+                nu=jax.tree_util.tree_unflatten(treedef, nus),
+            ),
+        )
 
     return optax.GradientTransformation(init, update)
 

@@ -89,6 +89,11 @@ def parse_args(argv=None):
                    help="AdamW second-moment storage dtype — required for "
                         "ViT-Giant on one 16GB chip; see the round-3 "
                         "moment-dtype validation in docs/EXPERIMENTS.md")
+    p.add_argument("--factored-nu", action="store_true",
+                   help="store the Adam second moment rank-1 factored "
+                        "(Adafactor-style row/col EMAs) for >=2-D params — "
+                        "nu memory ~free at any scale with f32 adaptive "
+                        "scaling; alternative to --nu-dtype bfloat16")
     p.add_argument("--seed", type=int, default=0)
     # data
     p.add_argument("--z-stride", type=int, default=1)
@@ -286,6 +291,7 @@ def main(argv=None) -> int:
         crop_scale_max=args.crop_scale_max,
         mu_dtype=args.mu_dtype,
         nu_dtype=args.nu_dtype,
+        factored_nu=args.factored_nu,
         train_seed=args.seed,
     )
 
