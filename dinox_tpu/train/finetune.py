@@ -342,7 +342,7 @@ def save_finetune(
     head = params["head"]
     torch.save(
         {
-            "weight": torch.from_numpy(np.ascontiguousarray(np.asarray(head["kernel"], np.float32).T)),
+            "weight": torch.from_numpy(np.array(np.asarray(head["kernel"], np.float32).T, order="C")),
             "bias": torch.from_numpy(np.asarray(head["bias"], np.float32).copy()),
         },
         out / "head.pth",
@@ -361,7 +361,7 @@ def save_finetune(
              and int(k.split("_")[1]) >= start}
         )
         torch.save(
-            {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in full_sd.items()},
+            {k: torch.from_numpy(np.array(v, order="C")) for k, v in full_sd.items()},
             out / "unfrozen_blocks.pth",
         )
     (out / "finetune_config.json").write_text(

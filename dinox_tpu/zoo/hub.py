@@ -287,7 +287,9 @@ def export_hub_checkpoint(
     else:
         import torch
 
-        torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        # np.array(..., order="C"): jax buffers surface as non-writable numpy
+        # views; from_numpy on those triggers torch's non-writable warning.
+        torch.save({k: torch.from_numpy(np.array(v, order="C")) for k, v in sd.items()},
                    out / "backbone.pth")
     log.info("exported hub checkpoint -> %s", out)
     return out
