@@ -14,8 +14,9 @@ reference's pickled python/numpy/torch/cuda RNG blobs (:1032-1078).
 from __future__ import annotations
 
 import logging
+import threading
 from pathlib import Path
-from typing import Any, Optional
+from typing import Any, Callable, Optional
 
 import orbax.checkpoint as ocp
 
@@ -24,12 +25,28 @@ from dinox_tpu.train.state import TrainState
 log = logging.getLogger(__name__)
 
 
-class CheckpointManager:
-    """Thin wrapper around ocp.CheckpointManager for a single run directory."""
+class CheckpointWedgedError(RuntimeError):
+    """A checkpoint save exceeded its watchdog timeout and was abandoned."""
 
-    def __init__(self, run_dir: str | Path, keep_last: int = 5, async_save: bool = True):
+
+class CheckpointManager:
+    """Thin wrapper around ocp.CheckpointManager for a single run directory.
+
+    *save_timeout_s* (0/None = disabled) arms a watchdog around every
+    blocking checkpoint operation: the D2H drain of a multi-GB TrainState can
+    wedge indefinitely on a dead transfer channel (observed on the dev
+    tunnel: ViT-L/G end-of-run saves stall with zero I/O after the metadata
+    write). On timeout the operation is abandoned on a daemon thread,
+    ``self.wedged`` is set, and every later checkpoint call becomes a
+    logged no-op — the run's metrics/curves survive even when its final
+    state cannot be drained."""
+
+    def __init__(self, run_dir: str | Path, keep_last: int = 5, async_save: bool = True,
+                 save_timeout_s: Optional[float] = None):
         self.run_dir = Path(run_dir).absolute()
         self.run_dir.mkdir(parents=True, exist_ok=True)
+        self.save_timeout_s = save_timeout_s or 0.0
+        self.wedged = False
         self._mgr = ocp.CheckpointManager(
             self.run_dir / "ckpt",
             options=ocp.CheckpointManagerOptions(
@@ -39,6 +56,40 @@ class CheckpointManager:
             ),
         )
 
+    def _guarded(self, fn: Callable[[], None], what: str) -> bool:
+        """Run *fn*; with a watchdog armed, abandon it after save_timeout_s.
+        Returns False when skipped (already wedged) or timed out."""
+        if self.wedged:
+            log.error("checkpoint channel wedged earlier; skipping %s", what)
+            return False
+        if not self.save_timeout_s:
+            fn()
+            return True
+        errs: list[BaseException] = []
+
+        def target() -> None:
+            try:
+                fn()
+            except BaseException as e:  # surfaced on the caller thread below
+                errs.append(e)
+
+        t = threading.Thread(target=target, daemon=True, name=f"ckpt-{what}")
+        t.start()
+        t.join(self.save_timeout_s)
+        if t.is_alive():
+            self.wedged = True
+            log.error(
+                "%s exceeded the %.0f s checkpoint watchdog — the device->"
+                "host drain is wedged (known failure mode for multi-GB "
+                "states over a dead transfer channel). Continuing WITHOUT "
+                "this checkpoint; later checkpoint ops will be skipped.",
+                what, self.save_timeout_s,
+            )
+            return False
+        if errs:
+            raise errs[0]
+        return True
+
     def save(
         self,
         step: int,
@@ -47,20 +98,23 @@ class CheckpointManager:
         config: Optional[dict[str, Any]] = None,
         loader_position: Optional[tuple[int, int]] = None,
         force: bool = False,
-    ) -> None:
+    ) -> bool:
         meta = {
             "step": int(step),
             "config": config or {},
             "loader_epoch": loader_position[0] if loader_position else 0,
             "loader_batch": loader_position[1] if loader_position else 0,
         }
-        self._mgr.save(
-            step,
-            args=ocp.args.Composite(
-                state=ocp.args.StandardSave(state),
-                meta=ocp.args.JsonSave(meta),
+        return self._guarded(
+            lambda: self._mgr.save(
+                step,
+                args=ocp.args.Composite(
+                    state=ocp.args.StandardSave(state),
+                    meta=ocp.args.JsonSave(meta),
+                ),
+                force=force,
             ),
-            force=force,
+            f"save(step={step})",
         )
 
     def latest_step(self) -> Optional[int]:
@@ -83,11 +137,11 @@ class CheckpointManager:
         return out["state"], out["meta"]
 
     def wait(self) -> None:
-        self._mgr.wait_until_finished()
+        self._guarded(self._mgr.wait_until_finished, "wait_until_finished")
 
     def close(self) -> None:
-        self._mgr.wait_until_finished()
-        self._mgr.close()
+        if self._guarded(self._mgr.wait_until_finished, "wait_until_finished"):
+            self._mgr.close()
 
     def emergency_save(self, step: int, state: TrainState, reason: str) -> None:
         """Synchronous save on anomaly (NaN/Inf), mirroring the reference's

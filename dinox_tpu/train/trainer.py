@@ -18,7 +18,7 @@ from typing import Any, Callable, Iterable, Optional
 import numpy as np
 
 from dinox_tpu.train.anomaly import AnomalyDetector
-from dinox_tpu.train.checkpoint import CheckpointManager
+from dinox_tpu.train.checkpoint import CheckpointManager, CheckpointWedgedError
 from dinox_tpu.train.state import TrainConfig, TrainState
 from dinox_tpu.utils.logging import MetricLogger
 
@@ -55,6 +55,7 @@ def train(
     start_step: int = 0,
     ckpt_every: int = 100,
     ckpt_keep_last: int = 5,
+    ckpt_timeout_s: float = 0.0,
     log_jsonl: bool = False,
     tensorboard: bool = True,
     loader_position: Optional[Callable[[], tuple[int, int]]] = None,
@@ -75,7 +76,8 @@ def train(
     run_dir.mkdir(parents=True, exist_ok=True)
     (run_dir / "config.json").write_text(json.dumps(config_dict(cfg), indent=2, default=str))
 
-    ckpt = CheckpointManager(run_dir, keep_last=ckpt_keep_last)
+    ckpt = CheckpointManager(run_dir, keep_last=ckpt_keep_last,
+                             save_timeout_s=ckpt_timeout_s)
     logger = MetricLogger(run_dir, jsonl=log_jsonl, tensorboard=tensorboard)
     detector = AnomalyDetector()
     stop = GracefulStop()
@@ -224,4 +226,11 @@ def train(
             ckpt.close()
             logger.close()
             stop.restore()
+    if ckpt.wedged:
+        # Training itself completed (metrics flushed above); only the
+        # checkpoint channel is dead. Surface it so callers can exit with a
+        # distinct status instead of hanging in interpreter teardown.
+        raise CheckpointWedgedError(
+            f"checkpoint save watchdog fired; state at step {step} NOT saved"
+        )
     return state

@@ -19,6 +19,7 @@ from __future__ import annotations
 import argparse
 import hashlib
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -89,6 +90,11 @@ def parse_args(argv=None):
                    help="AdamW second-moment storage dtype — required for "
                         "ViT-Giant on one 16GB chip; see the round-3 "
                         "moment-dtype validation in docs/EXPERIMENTS.md")
+    p.add_argument("--ckpt-timeout", type=float, default=0.0,
+                   help="watchdog (seconds) on every blocking checkpoint op; "
+                        "0 disables. On a wedged device->host drain the save "
+                        "is abandoned (loudly) instead of hanging the run; "
+                        "the process exits rc=3 after training completes")
     p.add_argument("--factored-nu", action="store_true",
                    help="store the Adam second moment rank-1 factored "
                         "(Adafactor-style row/col EMAs) for >=2-D params — "
@@ -406,24 +412,36 @@ def main(argv=None) -> int:
 
     t0 = time.monotonic()
     stop_at = min(args.stop_after or args.max_steps, args.max_steps)
-    state = train(
-        cfg,
-        state,
-        step_fn,
-        batches,
-        run_dir=args.run_dir,
-        max_steps=stop_at,
-        start_step=start_step,
-        ckpt_every=args.ckpt_every,
-        ckpt_keep_last=args.ckpt_keep_last,
-        log_jsonl=args.log_json,
-        tensorboard=not args.no_tensorboard,
-        loader_position=loader_position,
-        on_step=on_step,
-        profile_steps=args.profile_steps,
-        profile_start=args.profile_start,
-        mesh=mesh,
-    )
+    from dinox_tpu.train.trainer import CheckpointWedgedError
+
+    try:
+        state = train(
+            cfg,
+            state,
+            step_fn,
+            batches,
+            run_dir=args.run_dir,
+            max_steps=stop_at,
+            start_step=start_step,
+            ckpt_every=args.ckpt_every,
+            ckpt_keep_last=args.ckpt_keep_last,
+            ckpt_timeout_s=args.ckpt_timeout,
+            log_jsonl=args.log_json,
+            tensorboard=not args.no_tensorboard,
+            loader_position=loader_position,
+            on_step=on_step,
+            profile_steps=args.profile_steps,
+            profile_start=args.profile_start,
+            mesh=mesh,
+        )
+    except CheckpointWedgedError as e:
+        # Training finished but the final state could not be drained; a
+        # daemon thread is stuck inside the dead transfer channel, so a
+        # normal interpreter exit could hang in teardown — force it.
+        print(f"WEDGED-CHECKPOINT: {e}", flush=True)
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(3)
     dt = time.monotonic() - t0
     steps_done = int(np.asarray(state.step)) - start_step
     if steps_done > 0 and dt > 0:

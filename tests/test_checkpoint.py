@@ -99,3 +99,81 @@ def test_resume_training_continues_identically(tmp_path):
     trees_equal(resumed.teacher, straight.teacher)
     np.testing.assert_array_equal(np.asarray(resumed.center), np.asarray(straight.center))
     mgr.close()
+
+
+def test_save_watchdog_abandons_wedged_save(tmp_path, monkeypatch):
+    """A save whose blocking portion never returns (dead transfer channel)
+    is abandoned after save_timeout_s: save() returns False, the manager is
+    marked wedged, later checkpoint ops are skipped fast, and close() does
+    not block."""
+    import threading
+    import time as _time
+
+    state = create_train_state(TINY, jax.random.key(0))
+    mgr = CheckpointManager(tmp_path / "run", async_save=False, save_timeout_s=0.5)
+    hang = threading.Event()
+    monkeypatch.setattr(mgr._mgr, "save", lambda *a, **k: hang.wait())
+    monkeypatch.setattr(mgr._mgr, "wait_until_finished", lambda: hang.wait())
+
+    t0 = _time.monotonic()
+    assert mgr.save(1, state) is False
+    assert mgr.wedged
+    assert _time.monotonic() - t0 < 5.0
+    # wedged manager: everything becomes a fast no-op
+    t0 = _time.monotonic()
+    assert mgr.save(2, state) is False
+    mgr.wait()
+    mgr.close()
+    assert _time.monotonic() - t0 < 1.0
+    hang.set()  # release the daemon thread
+
+
+def test_save_watchdog_passthrough_when_healthy(tmp_path):
+    """With the watchdog armed, a normal save completes, returns True, and
+    the checkpoint restores bit-for-bit."""
+    state = create_train_state(TINY, jax.random.key(0))
+    mgr = CheckpointManager(tmp_path / "run", async_save=False, save_timeout_s=60.0)
+    assert mgr.save(1, state) is True
+    assert not mgr.wedged
+    template = jax.tree_util.tree_map(np.zeros_like, state)
+    restored, meta = mgr.restore(template)
+    trees_equal(restored, state)
+    mgr.close()
+
+
+def test_trainer_raises_on_wedged_final_save(tmp_path, monkeypatch):
+    """The training loop completes its steps, then surfaces the wedged final
+    save as CheckpointWedgedError (metrics/curves intact) instead of
+    hanging."""
+    import threading
+
+    import dinox_tpu.train.trainer as trainer_mod
+    from dinox_tpu.train.trainer import CheckpointWedgedError, train
+
+    hang = threading.Event()
+
+    class WedgingMgr(CheckpointManager):
+        def __init__(self, run_dir, keep_last=5, async_save=True, save_timeout_s=None):
+            super().__init__(run_dir, keep_last=keep_last, async_save=async_save,
+                             save_timeout_s=save_timeout_s)
+            self._mgr_save = self._mgr.save
+            self._mgr.save = lambda *a, **k: hang.wait()
+
+    monkeypatch.setattr(trainer_mod, "CheckpointManager", WedgingMgr)
+    state = create_train_state(TINY, jax.random.key(0))
+    from dinox_tpu.train.step import build_train_step
+
+    step_fn = build_train_step(TINY, donate=False)
+    batches = (fake_batch(TINY, seed=i) for i in range(2))
+
+    class B:
+        def __init__(self, px, sp):
+            self.pixels, self.spacing = px, sp
+
+    with pytest.raises(CheckpointWedgedError):
+        train(
+            TINY, state, step_fn, (B(*b) for b in batches),
+            run_dir=tmp_path / "run", max_steps=2, ckpt_every=0,
+            ckpt_timeout_s=0.5, tensorboard=False,
+        )
+    hang.set()
