@@ -213,23 +213,29 @@ def make_jax_batch_fn(canvas: int, n: int):
     yy, xx = jnp.meshgrid(jnp.linspace(-1, 1, canvas),
                           jnp.linspace(-1, 1, canvas), indexing="ij")
 
-    def make(key):
+    # Per-element threefry bits are u32: a full (n, canvas, canvas, 3) draw
+    # keeps many 4-byte temps alive at once (n=128 @ 512^2 needed 25.6 GB —
+    # compile-time OOM on a 16 GB chip). Generate in chunks of <=16 slices
+    # under lax.map so the working set is bounded by the chunk, not the batch.
+    _CHUNK = 16
+
+    def _block(key, m: int):
         ks = jax.random.split(key, 8)
-        ds = jax.random.choice(ks[0], len(PROFILES_V2), (n,), p=weights)
+        ds = jax.random.choice(ks[0], len(PROFILES_V2), (m,), p=weights)
         # bf16 fields halve the staging HBM transient (see round-2 note)
         coarse = jax.image.resize(
-            jax.random.normal(ks[1], (n, canvas // 32, canvas // 32, 3),
+            jax.random.normal(ks[1], (m, canvas // 32, canvas // 32, 3),
                               jnp.bfloat16),
-            (n, canvas, canvas, 3), "linear")
+            (m, canvas, canvas, 3), "linear")
         fine = jax.image.resize(
-            jax.random.normal(ks[2], (n, canvas // 8, canvas // 8, 3),
+            jax.random.normal(ks[2], (m, canvas // 8, canvas // 8, 3),
                               jnp.bfloat16),
-            (n, canvas, canvas, 3), "linear")
+            (m, canvas, canvas, 3), "linear")
         mix = mix_t[ds][:, None, None, None].astype(jnp.bfloat16)
         base = ((1.0 - mix) * coarse + mix * fine).astype(jnp.float32)
 
-        ax = jax.random.uniform(ks[3], (n, 1, 1, 1), minval=0.78, maxval=0.92)
-        ay = jax.random.uniform(ks[3], (n, 1, 1, 1), minval=0.70, maxval=0.88)
+        ax = jax.random.uniform(ks[3], (m, 1, 1, 1), minval=0.78, maxval=0.92)
+        ay = jax.random.uniform(ks[3], (m, 1, 1, 1), minval=0.70, maxval=0.88)
         r2 = (xx[None, :, :, None] / ax) ** 2 + (yy[None, :, :, None] / ay) ** 2
         body = r2 < 1.0
 
@@ -237,8 +243,8 @@ def make_jax_batch_fn(canvas: int, n: int):
         r = jnp.sqrt(r2)
         ring = jnp.exp(-((r - 0.9) ** 2) / (2 * 0.035 ** 2))
         hu = hu + ring_t[ds][:, None, None, None] * ring
-        theta = jax.random.uniform(ks[4], (n, 1, 1, 1), maxval=np.pi)
-        phase = jax.random.uniform(ks[5], (n, 1, 1, 3), maxval=2 * np.pi)
+        theta = jax.random.uniform(ks[4], (m, 1, 1, 1), maxval=np.pi)
+        phase = jax.random.uniform(ks[5], (m, 1, 1, 3), maxval=2 * np.pi)
         proj = (xx[None, :, :, None] * jnp.cos(theta)
                 + yy[None, :, :, None] * jnp.sin(theta))
         hu = hu + band_t[ds][:, None, None, None] * jnp.sin(
@@ -250,9 +256,18 @@ def make_jax_batch_fn(canvas: int, n: int):
         hu = jnp.where(body, hu, -1000.0)
         # stored encoding: uint16 = HU + 32768 (data/hu.py)
         pixels = jnp.clip(hu + 32768.0, 0.0, 65535.0).astype(jnp.uint16)
-        u = jax.random.uniform(ks[7], (n, 3))
+        u = jax.random.uniform(ks[7], (m, 3))
         spacing = (spmin_t[ds] + u * (spmax_t[ds] - spmin_t[ds])).astype(jnp.float32)
         spacing = spacing.at[:, 1].set(spacing[:, 0])  # square xy pixels
         return pixels, spacing, ds
+
+    def make(key):
+        if n <= _CHUNK or n % _CHUNK:
+            return _block(key, n)
+        keys = jax.random.split(key, n // _CHUNK)
+        px, sp, ds = jax.lax.map(lambda k: _block(k, _CHUNK), keys)
+        return (px.reshape((n,) + px.shape[2:]),
+                sp.reshape((n, 3)),
+                ds.reshape((n,)))
 
     return make

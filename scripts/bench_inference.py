@@ -40,6 +40,10 @@ def main(argv=None) -> int:
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--img-size", type=int, default=224)
     p.add_argument("--attn-impl", default="pallas")
+    p.add_argument("--fused-attn", action="store_true",
+                   help="fused LN->QKV->attn->proj half-block kernel "
+                        "(ops/fused_attn_block.py) — inference has no "
+                        "backward, so its faster forward applies cleanly")
     args = p.parse_args(argv)
 
     from dinox_tpu.models.config import MODEL_CONFIGS
@@ -47,6 +51,7 @@ def main(argv=None) -> int:
 
     cfg = MODEL_CONFIGS[args.config].replace(
         scale_aware=True, attn_impl=args.attn_impl, img_size=args.img_size,
+        fused_attn=args.fused_attn,
     )
     module = PatchViT(cfg)
     rng = np.random.default_rng(0)

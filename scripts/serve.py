@@ -69,12 +69,17 @@ class EmbedService:
     """
 
     def __init__(self, backbone: str, buckets: list[int],
-                 batch_window_ms: float = 6.0):
+                 batch_window_ms: float = 6.0, fused_attn: bool = False):
         import jax.numpy as jnp
 
         from dinox_tpu.zoo.hub import load_model
 
         self.model = load_model(backbone)
+        if fused_attn:
+            # Runtime-only kernel choice (identical params/outputs): serving
+            # has no backward, so the fused half-block's faster forward
+            # applies without the training-path wgrad penalty.
+            self.model.cfg = self.model.cfg.replace(fused_attn=True)
         self.buckets = sorted(set(buckets))
         self._jnp = jnp
         self._window = batch_window_ms / 1000.0
@@ -250,10 +255,14 @@ def main(argv=None) -> int:
                    help="cross-request coalescing window: after the first "
                         "queued request, wait up to this long to fuse "
                         "concurrent requests into one forward (0 disables)")
+    p.add_argument("--fused-attn", action="store_true",
+                   help="use the fused attention half-block kernel for the "
+                        "forward (TPU pallas path only; identical outputs)")
     args = p.parse_args(argv)
 
     service = EmbedService(args.backbone, args.buckets,
-                           batch_window_ms=args.batch_window_ms)
+                           batch_window_ms=args.batch_window_ms,
+                           fused_attn=args.fused_attn)
     service.warmup()
     server = ThreadingHTTPServer((args.host, args.port), make_handler(service))
     print(f"serving on http://{args.host}:{server.server_address[1]} "

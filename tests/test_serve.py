@@ -140,3 +140,30 @@ def test_concurrent_requests_coalesce_into_one_forward(tmp_path):
         np.testing.assert_allclose(results[3][0], solo[0], atol=1e-5)
     finally:
         service.close()
+
+
+def test_fused_attn_flag_keeps_embeddings_identical(tmp_path):
+    """--fused-attn is a runtime kernel choice, not a model change: the
+    service must produce the same embeddings up to bf16 kernel tolerance
+    (hub checkpoints load as pallas+bfloat16, so on CPU the config flip
+    routes through the interpreted fused kernel — same 0.05 tolerance as
+    the live-chip gate in bench.py --check)."""
+    hub_dir = tmp_path / "hub"
+    model = LoadedModel(TINY, init_backbone(TINY, jax.random.key(0)))
+    export_hub_checkpoint(model, hub_dir)
+    serve = _load_serve()
+
+    base = serve.EmbedService(str(hub_dir), buckets=[2], batch_window_ms=0.0)
+    fused = serve.EmbedService(str(hub_dir), buckets=[2], batch_window_ms=0.0,
+                               fused_attn=True)
+    try:
+        assert fused.model.cfg.fused_attn and not base.model.cfg.fused_attn
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+        sp = np.ones((2, 3), np.float32)
+        eb = np.asarray(base.model(x, sp))
+        ef = np.asarray(fused.model(x, sp))
+        np.testing.assert_allclose(ef, eb, atol=0.05)
+    finally:
+        base.close()
+        fused.close()
