@@ -262,12 +262,16 @@ def make_jax_batch_fn(canvas: int, n: int):
         return pixels, spacing, ds
 
     def make(key):
-        if n <= _CHUNK or n % _CHUNK:
+        if n <= _CHUNK:
             return _block(key, n)
-        keys = jax.random.split(key, n // _CHUNK)
+        # Round up to whole chunks and slice the excess: a non-divisible n
+        # must never fall back to one full-batch trace (that's the OOM the
+        # chunking exists to prevent); the waste is < one chunk.
+        nchunks = -(-n // _CHUNK)
+        keys = jax.random.split(key, nchunks)
         px, sp, ds = jax.lax.map(lambda k: _block(k, _CHUNK), keys)
-        return (px.reshape((n,) + px.shape[2:]),
-                sp.reshape((n, 3)),
-                ds.reshape((n,)))
+        return (px.reshape((nchunks * _CHUNK,) + px.shape[2:])[:n],
+                sp.reshape((nchunks * _CHUNK, 3))[:n],
+                ds.reshape((nchunks * _CHUNK,))[:n])
 
     return make
