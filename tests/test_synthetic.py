@@ -134,3 +134,24 @@ def test_spacing_ranges_overlap_across_datasets():
                 overlaps += 1
     assert overlaps == pairs, "every dataset pair must share >=0.5mm of z-range"
     assert abs(sum(SAMPLING_WEIGHTS_V2) - 1.0) < 1e-6
+
+
+def test_jax_batch_fn_chunking_shapes_and_determinism():
+    """The device generator chunks >16-slice batches through lax.map (full
+    single-trace generation compile-OOMs at (128,512,512,3) on a 16 GB
+    chip); non-divisible n pads to whole chunks and slices. Shapes, label
+    range, and key-determinism must hold at every branch: single-block,
+    exact chunks, padded chunks."""
+    import jax
+    import jax.numpy as jnp
+
+    from dinox_tpu.data.synthetic import PROFILES_V2, make_jax_batch_fn
+
+    for n in (8, 40, 64):
+        make = jax.jit(make_jax_batch_fn(64, n))
+        px, sp, ds = make(jax.random.key(1))
+        assert px.shape == (n, 64, 64, 3) and px.dtype == jnp.uint16
+        assert sp.shape == (n, 3) and ds.shape == (n,)
+        assert int(jnp.max(ds)) < len(PROFILES_V2)
+        px2, _, _ = make(jax.random.key(1))
+        np.testing.assert_array_equal(np.asarray(px), np.asarray(px2))
