@@ -220,7 +220,7 @@ def make_jax_batch_fn(canvas: int, n: int):
     _CHUNK = 16
 
     def _block(key, m: int):
-        ks = jax.random.split(key, 8)
+        ks = jax.random.split(key, 9)
         ds = jax.random.choice(ks[0], len(PROFILES_V2), (m,), p=weights)
         # bf16 fields halve the staging HBM transient (see round-2 note)
         coarse = jax.image.resize(
@@ -234,8 +234,11 @@ def make_jax_batch_fn(canvas: int, n: int):
         mix = mix_t[ds][:, None, None, None].astype(jnp.bfloat16)
         base = ((1.0 - mix) * coarse + mix * fine).astype(jnp.float32)
 
+        # Independent keys for the two body-ellipse axes: reusing one key made
+        # ay an affine function of ax on device, unlike the numpy writer
+        # (synth_series_np) which draws them independently.
         ax = jax.random.uniform(ks[3], (m, 1, 1, 1), minval=0.78, maxval=0.92)
-        ay = jax.random.uniform(ks[3], (m, 1, 1, 1), minval=0.70, maxval=0.88)
+        ay = jax.random.uniform(ks[8], (m, 1, 1, 1), minval=0.70, maxval=0.88)
         r2 = (xx[None, :, :, None] / ax) ** 2 + (yy[None, :, :, None] / ay) ** 2
         body = r2 < 1.0
 
@@ -253,7 +256,10 @@ def make_jax_batch_fn(canvas: int, n: int):
             fine.astype(jnp.float32) - sthr_t[ds][:, None, None, None], 0.0)
         hu = hu + noise_t[ds][:, None, None, None] * jax.random.normal(
             ks[6], hu.shape, jnp.float32)
-        hu = jnp.where(body, hu, -1000.0)
+        # Same HU clip as the numpy writer (synth_series_np): without it,
+        # lung-like tails below -1000 / above 4000 appear on device but never
+        # in on-disk eval sets — a device/disk distribution mismatch.
+        hu = jnp.clip(jnp.where(body, hu, -1000.0), -1000.0, 4000.0)
         # stored encoding: uint16 = HU + 32768 (data/hu.py)
         pixels = jnp.clip(hu + 32768.0, 0.0, 65535.0).astype(jnp.uint16)
         u = jax.random.uniform(ks[7], (m, 3))

@@ -179,10 +179,12 @@ class DeviceSyntheticBatches:
             organ = jax.random.bernoulli(k_org, 0.5, (n,))
             low = jax.random.normal(k_low, (n, canvas // 16, canvas // 16, 3))
             img = jax.image.resize(low, (n, canvas, canvas, 3), "linear")
-            # stored encoding: uint16 = HU + 32768 (SURVEY.md §2.4)
-            mean = jnp.where(organ, 32768.0 - 600.0, 32768.0 + 40.0)[:, None, None, None]
+            # stored encoding: uint16 = HU + 32768 (SURVEY.md §2.4); HU clipped
+            # to [-1000, 4000] like the on-disk twin (synth_two_organ_series_np)
+            mean = jnp.where(organ, -600.0, 40.0)[:, None, None, None]
             std = jnp.where(organ, 300.0, 120.0)[:, None, None, None]
-            pixels = jnp.clip(mean + img * std, 0.0, 65535.0).astype(jnp.uint16)
+            hu = jnp.clip(mean + img * std, -1000.0, 4000.0)
+            pixels = jnp.clip(hu + 32768.0, 0.0, 65535.0).astype(jnp.uint16)
             sp_a = jax.random.uniform(k_sp1, (n, 3),
                                       minval=jnp.asarray([0.5, 0.5, 1.0]),
                                       maxval=jnp.asarray([1.0, 1.0, 1.5]))
