@@ -158,8 +158,9 @@ class TrainLoader:
         num_hosts: int = 1,
         start_epoch: int = 0,
         start_batch: int = 0,
+        cache_slices: int = 512,
     ):
-        self.source = SliceStackSource(rows, canvas)
+        self.source = SliceStackSource(rows, canvas, cache_slices=cache_slices)
         self.batch_size = batch_size
         self.seed = seed
         self.diverse = diverse

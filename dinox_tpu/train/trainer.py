@@ -57,6 +57,8 @@ def train(
     ckpt_keep_last: int = 5,
     ckpt_timeout_s: float = 0.0,
     log_jsonl: bool = False,
+    flush_max_steps: int = 64,
+    flush_secs: float = 10.0,
     tensorboard: bool = True,
     loader_position: Optional[Callable[[], tuple[int, int]]] = None,
     on_step: Optional[Callable[[int, dict, TrainState], None]] = None,
@@ -194,13 +196,17 @@ def train(
                 on_step(step, metrics, state)
 
             due_ckpt = bool(ckpt_every and step % ckpt_every == 0)
-            # Flush on the 10-s cadence OR when the buffer hits 64 steps:
-            # dispatch is asynchronous and much faster than execution with
-            # device-resident batches, so a wall-clock-only trigger lets the
-            # loop enqueue thousands of steps and then stall in one giant
-            # drain (sawtooth telemetry, minutes-late anomaly detection).
+            # Flush on the wall-clock cadence OR when the buffer hits
+            # flush_max_steps: dispatch is asynchronous and much faster than
+            # execution with device-resident batches, so a wall-clock-only
+            # trigger lets the loop enqueue thousands of steps and then stall
+            # in one giant drain (sawtooth telemetry, minutes-late anomaly
+            # detection). flush_max_steps bounds how many steps a divergence
+            # can burn before the NaN check fires (the anomaly-latency
+            # trade-off is the caller's to make).
             if (due_ckpt or step == max_steps or stop.stop
-                    or len(pending) >= 64 or time.monotonic() - t_last >= 10.0):
+                    or len(pending) >= flush_max_steps
+                    or time.monotonic() - t_last >= flush_secs):
                 flush()
             if due_ckpt:
                 ckpt.save(

@@ -90,6 +90,13 @@ def _cfg_from_dict(config: dict[str, Any]) -> ModelConfig:
     config.json / training-config formats."""
     merged = dict(HUB_DEFAULT_CONFIG)
     merged.update({k: v for k, v in config.items() if v is not None})
+    if "gelu_approx" not in config:
+        log.warning(
+            "hub config has no 'gelu_approx' field: assuming exact erf GELU "
+            "(torch-parity default for reference-format exports). A native "
+            "checkpoint exported before this field existed but trained with "
+            "tanh GELU needs \"gelu_approx\": true added to its config.json."
+        )
     return ModelConfig(
         name=str(merged.get("name", "custom")),
         img_size=int(merged["img_size"]),

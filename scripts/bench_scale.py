@@ -94,12 +94,16 @@ def main(argv=None) -> int:
     assert np.isfinite(loss), f"non-finite loss {loss}"
     img_s = cfg.effective_batch_size / dt
     ref = REFERENCE_IMG_S[args.config]
+
+    from dinox_tpu.utils.flops import mfu
+
     print(json.dumps({
         "metric": f"{args.config.replace('-', '_')}_pretrain_img_per_sec",
         "value": round(img_s, 1),
         "unit": "img/s",
         "vs_baseline": round(img_s / ref, 2),
         "step_ms": round(dt * 1000, 1),
+        "mfu": round(mfu(img_s, cfg.model.replace(img_size=args.img_size)), 3),
         "loss": round(loss, 4),
     }))
     return 0

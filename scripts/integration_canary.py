@@ -113,35 +113,81 @@ def gate_resume(work: Path, index_csv: Path, steps: int, tol: float) -> dict:
     return out
 
 
-def gate_sampling(tol: float = 0.02) -> dict:
+def gate_sampling(work: Path, steps: int, tol: float = 0.02) -> dict:
+    """End-to-end sampling audit, the reference's third-gate shape
+    (reference integration_canary.py:279-364): build a merged index FILE
+    from imbalanced on-disk datasets via DatasetMerger (T=2.0), audit the
+    composition of the *written artifact* (not the in-process objects)
+    against the temperature weights, then smoke-train the real trainer on
+    that file as a subprocess."""
+    from dinox_tpu.data.index import load_index_rows, write_index_rows
     from dinox_tpu.zoo.manifest import DataManifest
     from dinox_tpu.zoo.merge import DatasetMerger, temperature_weights
     from dinox_tpu.zoo.schemas import SliceMetadata
 
-    def fake(ds, n):
-        return DataManifest([
-            SliceMetadata(dataset=ds, series_id=f"{ds}-{i // 16}", slice_idx=i % 16,
-                          pixel_spacing_x=0.7, pixel_spacing_y=0.7, slice_thickness=1.0,
-                          image_path=f"{ds}/{i}.png")
-            for i in range(n)
-        ])
-
-    sizes = {"big": 4000, "mid": 1000, "small": 250}
+    # Imbalanced on-disk datasets (series x 8 slices): the 96-slice quota
+    # forces dsb to subsample and dsc to oversample with replacement, so the
+    # audit exercises both draw paths.
+    sizes = {"dsa": 12, "dsb": 4, "dsc": 2}
+    samp = work / "samp"
     merger = DatasetMerger()
-    for name, n in sizes.items():
-        merger.add(fake(name, n))
-    merged, usage = merger.build(seed=3, total_slices=2000, strategy="temperature")
-    want = temperature_weights(list(sizes.values()), 2.0)
-    got = [u.slices_used / 2000 for u in usage]
+    rows_by_path = {}
+    for ds, n_series in sizes.items():
+        subprocess.run(
+            [sys.executable,
+             str(REPO / "scripts" / "preprocessing" / "make_synthetic_data.py"),
+             "--out", str(samp / ds), "--datasets", ds,
+             "--series-per-dataset", str(n_series),
+             "--slices-per-series", "8", "--size", "64"],
+            check=True, cwd=REPO, capture_output=True,
+        )
+        rows = load_index_rows(samp / ds / "index.csv")
+        rows_by_path.update({r.png_path: r for r in rows})
+        merger.add(DataManifest([
+            SliceMetadata(dataset=ds, series_id=r.series_dir,
+                          slice_idx=r.slice_index,
+                          pixel_spacing_x=r.spacing_x,
+                          pixel_spacing_y=r.spacing_y,
+                          slice_thickness=r.spacing_z,
+                          image_path=r.png_path)
+            for r in rows
+        ]))
+
+    total = 96
+    merged, _usage = merger.build(seed=3, total_slices=total,
+                                  strategy="temperature")
+    merged_csv = samp / "merged_index.csv"
+    write_index_rows([rows_by_path[rec.image_path] for rec in merged.records],
+                     merged_csv)
+
+    # audit the WRITTEN index file
+    audit_rows = load_index_rows(merged_csv)
+    counts = {ds: 0 for ds in sizes}
+    for r in audit_rows:
+        counts[r.dataset] += 1
+    want = temperature_weights([n * 8 for n in sizes.values()], 2.0)
+    got = [counts[ds] / len(audit_rows) for ds in sizes]
     err = max(abs(w - g) for w, g in zip(want, got))
+
+    # smoke-train the real trainer on the merged artifact
+    smoke_ok, smoke_error = False, None
+    try:
+        metrics = run_trainer(samp / "smoke", merged_csv, steps, seed=5)
+        losses = np.asarray([m["loss"] for m in metrics])
+        smoke_ok = bool(len(losses) == steps and np.isfinite(losses).all())
+    except RuntimeError as e:
+        smoke_error = str(e)
+
     out = {
         "target_weights": dict(zip(sizes, [round(w, 4) for w in want])),
         "observed_fractions": dict(zip(sizes, [round(g, 4) for g in got])),
         "max_abs_err": err,
-        "total": len(merged),
-        "passed": bool(err <= tol and len(merged) == 2000),
+        "total_written": len(audit_rows),
+        "smoke_train_ok": smoke_ok,
+        "smoke_train_error": smoke_error,
+        "passed": bool(err <= tol and len(audit_rows) == total and smoke_ok),
     }
-    print(f"[3] sampling: max_abs_err={err:.4f} "
+    print(f"[3] sampling: max_abs_err={err:.4f} smoke_train={'ok' if smoke_ok else 'FAIL'} "
           f"{'PASS' if out['passed'] else 'FAIL'}", flush=True)
     return out
 
@@ -170,7 +216,7 @@ def main(argv=None) -> int:
     report = {
         "determinism": gate_determinism(work, index_csv, args.steps, args.tol),
         "resume_fidelity": gate_resume(work, index_csv, args.steps, args.tol),
-        "sampling_distribution": gate_sampling(),
+        "sampling_distribution": gate_sampling(work, args.steps),
     }
     report["all_passed"] = all(g["passed"] for g in report.values())
     args.report.write_text(json.dumps(report, indent=2))

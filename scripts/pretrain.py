@@ -121,6 +121,12 @@ def parse_args(argv=None):
                    help="in-loop attention/health snapshots every N steps (0=off)")
     p.add_argument("--ckpt-keep-last", type=int, default=5)
     p.add_argument("--log-json", action="store_true")
+    p.add_argument("--metric-flush-steps", type=int, default=64,
+                   help="max steps of device metrics buffered before the "
+                        "NaN/collapse anomaly check runs — lower = earlier "
+                        "emergency checkpoints, more device round-trips")
+    p.add_argument("--metric-flush-secs", type=float, default=10.0,
+                   help="wall-clock cadence of the metric drain")
     p.add_argument("--no-tensorboard", action="store_true")
     p.add_argument("--profile-steps", type=int, default=0,
                    help="capture a jax.profiler trace of this many steps into "
@@ -251,6 +257,33 @@ def data_manifest_hash(index_csv: Path) -> str:
     return hashlib.sha256(index_csv.read_bytes()).hexdigest()[:16]
 
 
+# Kernel/runtime choices produce identical numerics and may differ between the
+# original run and its resume; everything else in ModelConfig affects the
+# compiled program's math and must come from the run being resumed.
+_RUNTIME_ONLY_MODEL_FIELDS = {"attn_impl", "fused_attn", "fused_mlp",
+                              "use_grad_checkpoint"}
+
+
+def reconcile_resume_model_config(mcfg, stored: dict):
+    """Resume continues the run it restores: numerics-affecting model fields
+    are adopted from the run dir's stored config.json instead of the CLI
+    rebuild — a run started with exact-erf GELU must not silently switch
+    nonlinearity when resumed after a CLI-default change (ADVICE r3).
+    Runtime-only kernel choices stay CLI-controlled. Every adopted
+    difference is printed."""
+    for k, v in stored.items():
+        if k in _RUNTIME_ONLY_MODEL_FIELDS or not hasattr(mcfg, k):
+            continue
+        cur = getattr(mcfg, k)
+        if isinstance(cur, tuple) and isinstance(v, list):
+            v = tuple(v)
+        if cur != v:
+            print(f"resume: adopting stored model.{k}={v!r} (CLI had {cur!r})",
+                  flush=True)
+            mcfg = mcfg.replace(**{k: v})
+    return mcfg
+
+
 def main(argv=None) -> int:
     args = parse_args(argv)
 
@@ -278,6 +311,16 @@ def main(argv=None) -> int:
         fused_attn=args.fused_attn,
         gelu_approx=args.gelu_approx or args.gelu == "tanh",
     )
+    # Resolve resume BEFORE building state: the resumed run's stored model
+    # config wins over CLI-rebuilt fields (reconcile_resume_model_config).
+    resume_dir = None
+    if args.resume == "auto":
+        resume_dir = find_latest_run(args.run_dir.parent)
+    elif args.resume:
+        resume_dir = Path(args.resume)
+    if resume_dir is not None and (resume_dir / "config.json").exists():
+        stored_cfg = json.loads((resume_dir / "config.json").read_text())
+        mcfg = reconcile_resume_model_config(mcfg, stored_cfg.get("model", {}))
     cfg = TrainConfig(
         model=mcfg,
         img_size=args.img_size,
@@ -344,9 +387,18 @@ def main(argv=None) -> int:
         # full row set for 2.5D neighbor lookup). Pre-sharding the rows with
         # shard_rows here would strip every other slice from the SeriesMap
         # and silently degenerate the (z-1, z, z+1) stacks to center copies.
+        # --batch-size is GLOBAL (TrainConfig semantics: LR scaling,
+        # samples/s); each host's loader feeds its 1/process_count shard,
+        # assembled into the global array by put_global_batch.
+        n_hosts = jax.process_count()
+        if args.batch_size % n_hosts:
+            print(f"error: --batch-size {args.batch_size} is the GLOBAL batch "
+                  f"and must be divisible by process_count={n_hosts}",
+                  file=sys.stderr)
+            return 2
         loader = TrainLoader(
             rows,
-            args.batch_size,
+            args.batch_size // n_hosts,
             seed=args.seed,
             canvas=args.canvas,
             diverse=args.diverse_batches,
@@ -366,11 +418,6 @@ def main(argv=None) -> int:
     state = create_train_state(cfg, jax.random.key(args.seed))
     state = jax.device_put(state, state_shardings(mesh, state))
     start_step = 0
-    resume_dir = None
-    if args.resume == "auto":
-        resume_dir = find_latest_run(args.run_dir.parent)
-    elif args.resume:
-        resume_dir = Path(args.resume)
     if resume_dir is not None and (resume_dir / "ckpt").exists():
         mgr = CheckpointManager(resume_dir, keep_last=args.ckpt_keep_last)
         state, meta = mgr.restore(state)
@@ -429,6 +476,8 @@ def main(argv=None) -> int:
             ckpt_keep_last=args.ckpt_keep_last,
             ckpt_timeout_s=args.ckpt_timeout,
             log_jsonl=args.log_json,
+            flush_max_steps=args.metric_flush_steps,
+            flush_secs=args.metric_flush_secs,
             tensorboard=not args.no_tensorboard,
             loader_position=loader_position,
             on_step=on_step,

@@ -87,14 +87,22 @@ class EmbedService:
         self.stats = {"requests": 0, "forwards": 0, "images": 0}
         self._queue: queue.Queue = queue.Queue()
         self._closing = False
+        # Serializes enqueue vs close(): without it a request that passed the
+        # _closing check could land BEHIND the shutdown sentinel and its
+        # handler thread would block forever on future.result().
+        self._submit_lock = threading.Lock()
         self._dispatcher = threading.Thread(
             target=self._dispatch_loop, name="dinox-serve-dispatch", daemon=True
         )
         self._dispatcher.start()
 
     def close(self) -> None:
-        """Stop the dispatcher (pending requests are still served first)."""
-        self._queue.put(None)
+        """Stop the dispatcher (pending requests are still served first).
+        The sentinel is enqueued under the submit lock, so it is guaranteed
+        to be the LAST queue item — every enqueued request resolves."""
+        with self._submit_lock:
+            self._closing = True
+            self._queue.put(None)
         self._dispatcher.join(timeout=30)
 
     def warmup(self) -> None:
@@ -118,8 +126,6 @@ class EmbedService:
 
         if self.model.scale_aware and spacings is None:
             raise ValueError("model is scale-aware: 'spacings' is required")
-        if self._closing:
-            raise RuntimeError("service is shut down")
         xs = np.stack([
             _preprocess(np.asarray(img, np.float32), self.model.img_size,
                         input_format, hu_level, hu_width)
@@ -128,7 +134,10 @@ class EmbedService:
         sp = (np.asarray(spacings, np.float32)
               if self.model.scale_aware else None)
         work = _Work(xs, sp)
-        self._queue.put(work)
+        with self._submit_lock:
+            if self._closing:
+                raise RuntimeError("service is shut down")
+            self._queue.put(work)
         return work.future.result()
 
     # -- dispatcher ---------------------------------------------------------

@@ -1,12 +1,25 @@
 #!/usr/bin/env python
 """Offline throughput grid search (analog of reference
-scripts/tune_throughput.py): sweep batch size x loader workers over the REAL
-train step, segmenting each optimizer update into data-wait vs device time,
-classifying io_bound/compute_bound, recording OOM — results.csv/json +
-summary with the best stable configuration.
+scripts/tune_throughput.py:182-790): sweep batch size x loader workers x
+prefetch depth over the REAL train step, segmenting each optimizer update
+into data-wait vs device time, classifying io_bound/compute_bound, recording
+OOM, rusage and loadavg — results.csv/json + summary with the best stable
+configuration.
+
+Feature parity notes:
+- ``--inflate N`` repeats the index rows N times per epoch (the reference's
+  "virtual inflation" of small datasets, tune_throughput.py:85-101) so a
+  small tree doesn't exhaust an epoch mid-measurement.
+- ``--loader-only`` times the host pipeline ALONE (decode + 2.5D assembly +
+  batching; no device work) — the loader-stress ceiling measurement the
+  reference ships (docs/throughput_tuning_20260102_211359.md:74-79).
+- rusage (max RSS, user/sys CPU) + 1-min loadavg are captured per cell
+  (reference tune_throughput.py:630-700).
 
     python scripts/tune_throughput.py --synthetic --batch-sizes 64 128 256 \\
         --out-dir /tmp/tune
+    python scripts/tune_throughput.py --index-csv data/.../index.csv \\
+        --loader-only --batch-sizes 64 --num-workers 4 8 16 --out-dir /tmp/tune
 """
 
 from __future__ import annotations
@@ -15,6 +28,8 @@ import argparse
 import csv as csv_mod
 import itertools
 import json
+import os
+import resource
 import sys
 import time
 import traceback
@@ -42,15 +57,88 @@ def parse_args(argv=None):
     p.add_argument("--scale-aware", action="store_true", default=True)
     p.add_argument("--batch-sizes", type=int, nargs="+", default=[64, 128, 256])
     p.add_argument("--num-workers", type=int, nargs="+", default=[8])
+    p.add_argument("--prefetch", type=int, nargs="+", default=[4],
+                   help="loader prefetch queue depths to sweep")
     p.add_argument("--steps", type=int, default=12)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--canvas", type=int, default=512)
     p.add_argument("--attn-impl", default="pallas")
+    p.add_argument("--inflate", type=int, default=1,
+                   help="virtually inflate the dataset by repeating the "
+                        "index rows N times per epoch")
+    p.add_argument("--cache-slices", type=int, default=512,
+                   help="decoded-slice LRU size (0 = decode every read; use "
+                        "0 for an honest cold-decode loader ceiling)")
+    p.add_argument("--loader-only", action="store_true",
+                   help="measure the host pipeline alone (loader-stress "
+                        "ceiling): no model, no device transfers")
     p.add_argument("--out-dir", type=Path, default=Path("throughput_tuning"))
     return p.parse_args(argv)
 
 
-def measure(args, batch_size: int, num_workers: int) -> dict:
+def _usage_snapshot() -> dict:
+    ru = resource.getrusage(resource.RUSAGE_SELF)
+    try:
+        load1 = os.getloadavg()[0]
+    except OSError:
+        load1 = None
+    return {"maxrss_mb": round(ru.ru_maxrss / 1024, 1),
+            "cpu_user_s": round(ru.ru_utime, 2),
+            "cpu_sys_s": round(ru.ru_stime, 2),
+            "loadavg_1m": load1}
+
+
+def _make_loader(args, batch_size: int, num_workers: int, prefetch: int):
+    from dinox_tpu.data.index import load_index_rows
+    from dinox_tpu.data.pipeline import TrainLoader
+
+    rows = load_index_rows(args.index_csv)
+    if args.inflate > 1:
+        rows = rows * args.inflate
+    return TrainLoader(rows, batch_size, seed=0, canvas=args.canvas,
+                       num_workers=num_workers, prefetch=prefetch,
+                       cache_slices=args.cache_slices)
+
+
+def measure_loader_only(args, batch_size: int, num_workers: int,
+                        prefetch: int) -> dict:
+    """Host-pipeline ceiling: PNG decode + 2.5D stack + batch assembly
+    throughput with no device in the loop."""
+    rec: dict = {"batch_size": batch_size, "num_workers": num_workers,
+                 "prefetch": prefetch, "status": "ok", "mode": "loader_only"}
+    loader = None
+    try:
+        loader = _make_loader(args, batch_size, num_workers, prefetch)
+        it = iter(loader)
+        for _ in range(args.warmup):
+            next(it)
+        u0 = resource.getrusage(resource.RUSAGE_SELF)
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            next(it)
+        dt = time.perf_counter() - t0
+        u1 = resource.getrusage(resource.RUSAGE_SELF)
+        n = args.steps * batch_size
+        rec.update(
+            img_per_s=round(n / dt, 1),
+            batch_ms=round(dt / args.steps * 1000, 1),
+            decode_mb_per_s=round(
+                n * args.canvas * args.canvas * 3 * 2 / dt / 1e6, 1),
+            cpu_frac=round((u1.ru_utime - u0.ru_utime
+                            + u1.ru_stime - u0.ru_stime) / dt, 2),
+        )
+        rec.update(_usage_snapshot())
+    except Exception as e:  # noqa: BLE001
+        rec["status"] = "error"
+        rec["error"] = str(e).splitlines()[0][:200] if str(e) else type(e).__name__
+        traceback.print_exc()
+    finally:
+        if loader is not None:
+            loader.close()
+    return rec
+
+
+def measure(args, batch_size: int, num_workers: int, prefetch: int) -> dict:
     import jax
 
     from dinox_tpu.models.config import MODEL_CONFIGS
@@ -66,7 +154,8 @@ def measure(args, batch_size: int, num_workers: int) -> dict:
         warmup_steps=100,
         max_steps=5000,
     )
-    rec: dict = {"batch_size": batch_size, "num_workers": num_workers, "status": "ok"}
+    rec: dict = {"batch_size": batch_size, "num_workers": num_workers,
+                 "prefetch": prefetch, "status": "ok", "mode": "train"}
     loader = None
     try:
         if args.synthetic or args.index_csv is None:
@@ -91,12 +180,7 @@ def measure(args, batch_size: int, num_workers: int) -> dict:
 
             it = batches()
         else:
-            from dinox_tpu.data.index import load_index_rows
-            from dinox_tpu.data.pipeline import TrainLoader
-
-            rows = load_index_rows(args.index_csv)
-            loader = TrainLoader(rows, batch_size, seed=0, canvas=args.canvas,
-                                 num_workers=num_workers)
+            loader = _make_loader(args, batch_size, num_workers, prefetch)
 
             def batches():
                 for b in loader:
@@ -123,9 +207,11 @@ def measure(args, batch_size: int, num_workers: int) -> dict:
             data_wait_s=round(data_s, 4),
             device_step_s=round(step_s, 4),
             step_total_s=round(total, 4),
+            data_wait_frac=round(data_s / total, 3),
             img_per_s=round(batch_size / total, 1),
             bound="io_bound" if data_s > 0.2 * total else "compute_bound",
         )
+        rec.update(_usage_snapshot())
         try:
             stats = jax.local_devices()[0].memory_stats() or {}
             rec["peak_bytes_in_use"] = stats.get("peak_bytes_in_use")
@@ -144,11 +230,16 @@ def measure(args, batch_size: int, num_workers: int) -> dict:
 
 def main(argv=None) -> int:
     args = parse_args(argv)
+    if args.loader_only and args.index_csv is None:
+        print("error: --loader-only requires --index-csv", file=sys.stderr)
+        return 2
     args.out_dir.mkdir(parents=True, exist_ok=True)
+    fn = measure_loader_only if args.loader_only else measure
     results = []
-    for bs, nw in itertools.product(args.batch_sizes, args.num_workers):
-        print(f"measuring batch={bs} workers={nw} ...", flush=True)
-        rec = measure(args, bs, nw)
+    for bs, nw, pf in itertools.product(args.batch_sizes, args.num_workers,
+                                        args.prefetch):
+        print(f"measuring batch={bs} workers={nw} prefetch={pf} ...", flush=True)
+        rec = fn(args, bs, nw, pf)
         print(f"  -> {rec}", flush=True)
         results.append(rec)
 
@@ -161,6 +252,7 @@ def main(argv=None) -> int:
 
     ok = [r for r in results if r["status"] == "ok"]
     summary = {
+        "mode": "loader_only" if args.loader_only else "train",
         "best_img_per_s": max((r["img_per_s"] for r in ok), default=0.0),
         "best_config": max(ok, key=lambda r: r["img_per_s"], default=None),
         "max_stable_batch": max((r["batch_size"] for r in ok), default=0),

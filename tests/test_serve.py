@@ -167,3 +167,39 @@ def test_fused_attn_flag_keeps_embeddings_identical(tmp_path):
     finally:
         base.close()
         fused.close()
+
+
+def test_close_never_strands_a_request(tmp_path):
+    """Shutdown race (ADVICE r3): requests racing close() must either get a
+    result or a 'shut down' error — never hang on future.result(). The
+    submit lock guarantees the sentinel is the LAST queue item."""
+    hub_dir = tmp_path / "hub"
+    model = LoadedModel(TINY, init_backbone(TINY, jax.random.key(0)))
+    export_hub_checkpoint(model, hub_dir)
+    serve = _load_serve()
+    service = serve.EmbedService(str(hub_dir), buckets=[2], batch_window_ms=0.0)
+    rng = np.random.default_rng(3)
+    img = rng.uniform(-100, 400, (32, 32)).astype(np.float32)
+    sp = [1.0, 1.0, 2.0]
+    service.embed([img], [sp])  # warm compile outside the race
+
+    outcomes = [None] * 8
+    barrier = threading.Barrier(9)
+
+    def client(i):
+        barrier.wait()
+        try:
+            outcomes[i] = service.embed([img], [sp]).shape
+        except RuntimeError as e:
+            outcomes[i] = str(e)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    barrier.wait()
+    service.close()
+    for t in threads:
+        t.join(timeout=60)
+    assert not any(t.is_alive() for t in threads), f"stranded: {outcomes}"
+    for o in outcomes:
+        assert o == (1, 64) or (isinstance(o, str) and "shut down" in o), o

@@ -203,3 +203,58 @@ def test_zoo_encode_function_survives_submodule_import():
     from dinox_tpu.zoo import encode
 
     assert callable(encode)
+
+
+def test_reconcile_resume_model_config_adopts_stored_numerics():
+    """Resume must adopt the stored run's numerics-affecting model fields
+    (gelu_approx flipped defaults must not switch nonlinearity mid-run,
+    ADVICE r3) while leaving runtime-only kernel choices CLI-controlled."""
+    mod = _load_pretrain_module()
+    from dinox_tpu.models.config import MODEL_CONFIGS
+
+    cli = MODEL_CONFIGS["vit-tiny"].replace(
+        gelu_approx=True, attn_impl="pallas", scale_aware=False)
+    stored = {
+        "gelu_approx": False,          # numerics: must be adopted
+        "scale_aware": True,           # numerics: must be adopted
+        "attn_impl": "xla",            # runtime-only: must NOT be adopted
+        "fused_attn": True,            # runtime-only: must NOT be adopted
+        "lora_targets": ["qkv", "proj", "fc1", "fc2"],  # list == tuple
+        "not_a_field": 123,            # unknown keys ignored
+    }
+    out = mod.reconcile_resume_model_config(cli, stored)
+    assert out.gelu_approx is False
+    assert out.scale_aware is True
+    assert out.attn_impl == "pallas"
+    assert out.fused_attn is False
+    assert out.lora_targets == ("qkv", "proj", "fc1", "fc2")
+
+
+def test_metric_flush_window_bounds_anomaly_latency(tmp_path, tiny_state):
+    """flush_max_steps=1 drains every step, so the NaN check fires on the
+    very next step and the emergency save happens at the anomalous step
+    itself (no 64-step buffering window)."""
+    cfg = TINY.replace(batch_size=4)
+    with pytest.raises(FloatingPointError, match="anomaly at step 2"):
+        train(
+            cfg, tiny_state, fake_step([1.0, float("nan"), 0.9]), make_batches(),
+            run_dir=tmp_path / "run", max_steps=3, ckpt_every=0,
+            tensorboard=False, log_jsonl=True, flush_max_steps=1,
+        )
+    emergency = (tmp_path / "run" / "EMERGENCY.txt").read_text()
+    assert "step=2" in emergency
+
+
+def test_model_flops_accounting():
+    """Analytic FLOPs: ViT-S/224 forward ~12.5 GF/view, training slice = 8x;
+    MFU scales linearly with rate."""
+    from dinox_tpu.models.config import MODEL_CONFIGS
+    from dinox_tpu.utils.flops import (
+        forward_flops_per_view, mfu, train_flops_per_slice)
+
+    s = MODEL_CONFIGS["vit-small"]
+    f = forward_flops_per_view(s)
+    assert 11e9 < f < 14e9
+    assert train_flops_per_slice(s) == 8 * f
+    assert mfu(200.0, s) == pytest.approx(2 * mfu(100.0, s))
+    assert 0.0 < mfu(869.0, s) < 1.0
