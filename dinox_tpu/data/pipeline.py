@@ -178,8 +178,18 @@ class TrainLoader:
             if self.diverse
             else shuffled_order(len(rows), self.seed, epoch)
         )
-        shard = order[self.host_id :: self.num_hosts]
-        return batched(shard, self.batch_size, drop_last=True)
+        # Each host takes a CONTIGUOUS block of every global batch: global
+        # batch b = order[b*G : (b+1)*G], host h owns rows [h*B, (h+1)*B) of
+        # it. put_global_batch places process shards in process order, so the
+        # assembled global array equals a single-host run's batch
+        # position-for-position — and since per-sample augmentation RNG is
+        # keyed by batch position, single- and multi-host runs produce
+        # IDENTICAL training streams (testable loss parity, not just
+        # statistical equivalence).
+        global_bs = self.batch_size * self.num_hosts
+        gbatches = batched(order, global_bs, drop_last=True)
+        lo = self.host_id * self.batch_size
+        return [g[lo:lo + self.batch_size] for g in gbatches]
 
     def _assemble(self, idxs: np.ndarray, epoch: int) -> Batch:
         # One Generator per slot: np.random.Generator is not thread-safe, and

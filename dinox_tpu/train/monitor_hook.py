@@ -32,9 +32,21 @@ class TrainingMonitor:
         probe_pixels: np.ndarray,  # (B, H, W, 3) uint16
         probe_spacing: np.ndarray,  # (B, 3)
         every: int = 1000,
+        tensorboard: bool = True,
     ):
         self.dir = Path(run_dir) / "monitor"
         self.dir.mkdir(parents=True, exist_ok=True)
+        # TB image summaries (reference writes its heatmaps to TB too,
+        # phase5_big_run.py:1892-1976); a second SummaryWriter on the run dir
+        # produces a separate event file TensorBoard merges with the scalars.
+        self._tb = None
+        if tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(str(Path(run_dir)))
+            except Exception:
+                self._tb = None
         self.cfg = model_cfg
         self.every = every
         self._pixels = jnp.asarray(probe_pixels)
@@ -86,4 +98,16 @@ class TrainingMonitor:
         combo.paste(inp, (0, 0))
         combo.paste(heat, (size + 4, 0))
         combo.save(self.dir / f"step_{step:07d}.png")
+
+        if self._tb is not None:
+            self._tb.add_image("monitor/input_vs_attention",
+                               np.asarray(combo, np.uint8), step,
+                               dataformats="HW")
+            g0 = gram[0]
+            g0 = (g0 - g0.min()) / max(float(np.ptp(g0)), 1e-9)
+            self._tb.add_image("monitor/gram", (g0 * 255).astype(np.uint8),
+                               step, dataformats="HW")
+            self._tb.add_scalar("monitor/embed_std", stats["embed_std"], step)
+            self._tb.add_scalar("monitor/gram_mean", stats["gram_mean"], step)
+            self._tb.flush()
         return stats

@@ -61,6 +61,13 @@ def _micro_loss(
         return loss, (center, metrics)
 
     sp2 = jnp.concatenate([spacing, spacing], axis=0) if cfg.model.scale_aware else None
+    if sp2 is not None and cfg.spacing_jitter > 0:
+        # Per-VIEW multiplicative jitter: the two views of one slice see
+        # different spacing values, so cross-view consistency damps the
+        # embedding's local spacing sensitivity (counterfactual calibration,
+        # TrainConfig.spacing_jitter).
+        jkey = jax.random.fold_in(key, 0x5BA)
+        sp2 = sp2 * jnp.exp(cfg.spacing_jitter * jax.random.normal(jkey, sp2.shape))
 
     s_out, s_feats = model.apply(
         {"params": student_params}, batch, sp2, train=True,

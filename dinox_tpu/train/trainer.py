@@ -74,19 +74,31 @@ def train(
     as global batch-sharded arrays (multi-host: each process contributes its
     shard — see parallel.mesh.put_global_batch).
     """
+    import jax
+
+    # Only process 0 writes the metric sinks and config (multi-host runs
+    # share one logical run); every process participates in the distributed
+    # checkpoint saves below.
+    main_proc = jax.process_index() == 0
+    single_proc = jax.process_count() == 1
     run_dir = Path(run_dir)
     run_dir.mkdir(parents=True, exist_ok=True)
-    (run_dir / "config.json").write_text(json.dumps(config_dict(cfg), indent=2, default=str))
+    if main_proc:
+        (run_dir / "config.json").write_text(
+            json.dumps(config_dict(cfg), indent=2, default=str))
 
     ckpt = CheckpointManager(run_dir, keep_last=ckpt_keep_last,
                              save_timeout_s=ckpt_timeout_s)
-    logger = MetricLogger(run_dir, jsonl=log_jsonl, tensorboard=tensorboard)
+    logger = MetricLogger(run_dir, jsonl=log_jsonl and main_proc,
+                          tensorboard=tensorboard and main_proc,
+                          stdout=main_proc)
     detector = AnomalyDetector()
     stop = GracefulStop()
 
     it = iter(batches)
     samples_per_step = cfg.effective_batch_size
     t_last, n_since = time.monotonic(), 0
+    data_wait_since = 0.0  # host time blocked in next(it) since last flush
     step = start_step
     last_saved = -1
     # Device metrics are buffered and converted to host floats on a 10-s
@@ -96,7 +108,7 @@ def train(
     pending: list[tuple[int, dict]] = []
 
     def flush() -> None:
-        nonlocal t_last, n_since, last_saved
+        nonlocal t_last, n_since, last_saved, data_wait_since
         if not pending:
             return
         try:
@@ -128,7 +140,11 @@ def train(
                 if is_last:
                     now = time.monotonic()  # after the device sync above
                     host["samples_per_s"] = n_since / max(now - t_last, 1e-9)
+                    # fraction of wall time the loop spent blocked on the
+                    # host loader (the tuner's data-wait split, in-loop)
+                    host["data_wait_frac"] = data_wait_since / max(now - t_last, 1e-9)
                     t_last, n_since = now, 0
+                    data_wait_since = 0.0
                 logger.log(s, host, force_stdout=is_last)
                 severity, msg = detector.check(host["loss"], host.get("embed_std", 1.0))
                 if severity == "fatal":
@@ -156,7 +172,9 @@ def train(
 
     try:
         while step < max_steps and not stop.stop:
+            t_fetch = time.monotonic()
             batch = next(it)
+            data_wait_since += time.monotonic() - t_fetch
             pixels, spacing = batch.pixels, batch.spacing
             if hasattr(pixels, "addressable_shards"):
                 # already device-resident (e.g. pre-staged synthetic batches):
@@ -204,9 +222,16 @@ def train(
             # detection). flush_max_steps bounds how many steps a divergence
             # can burn before the NaN check fires (the anomaly-latency
             # trade-off is the caller's to make).
+            # Multi-process: the flush's jnp.stack over (replicated) global
+            # arrays is a mesh COMPUTATION, and multi-controller JAX requires
+            # every process to issue the same computations in the same order
+            # — a wall-clock trigger fires at different steps on different
+            # hosts and deadlocks the collective. Only the deterministic
+            # (step-keyed) triggers are allowed there.
             if (due_ckpt or step == max_steps or stop.stop
                     or len(pending) >= flush_max_steps
-                    or time.monotonic() - t_last >= flush_secs):
+                    or (single_proc
+                        and time.monotonic() - t_last >= flush_secs)):
                 flush()
             if due_ckpt:
                 ckpt.save(

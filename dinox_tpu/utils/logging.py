@@ -22,7 +22,9 @@ class MetricLogger:
         jsonl: bool = False,
         tensorboard: bool = True,
         stdout_every_s: float = 10.0,
+        stdout: bool = True,
     ):
+        self._stdout = stdout
         self.run_dir = Path(run_dir)
         self.run_dir.mkdir(parents=True, exist_ok=True)
         self._jsonl = open(self.run_dir / "metrics.jsonl", "a") if jsonl else None
@@ -46,7 +48,7 @@ class MetricLogger:
             for k, v in scalars.items():
                 self._tb.add_scalar(f"train/{k}", v, step)
         now = time.monotonic()
-        if force_stdout or now - self._last_stdout >= self._stdout_every:
+        if self._stdout and (force_stdout or now - self._last_stdout >= self._stdout_every):
             kv = " ".join(f"{k}={v:.5g}" for k, v in sorted(scalars.items()))
             print(f"step={step} {kv}", flush=True)
             self._last_stdout = now

@@ -32,6 +32,91 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def slo_bench(args) -> int:
+    """p50/p95 single-image request latency vs concurrency against the
+    cross-request micro-batcher (scripts/serve.py EmbedService), plus the
+    coalescing ratio its /healthz counters expose. Each client sends
+    sequential 1-image requests — the serving pattern the batch window is
+    designed for."""
+    import importlib.util
+    import tempfile
+    import threading
+
+    from dinox_tpu.models.config import MODEL_CONFIGS
+    from dinox_tpu.models.vit import init_backbone
+    from dinox_tpu.zoo.hub import LoadedModel, export_hub_checkpoint
+
+    spec = importlib.util.spec_from_file_location(
+        "serve_cli", Path(__file__).resolve().parent / "serve.py")
+    serve = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(serve)
+
+    cfg = MODEL_CONFIGS[args.config].replace(
+        scale_aware=True, attn_impl=args.attn_impl, img_size=args.img_size,
+        fused_attn=args.fused_attn,
+    )
+    rng = np.random.default_rng(0)
+    rows = []
+    with tempfile.TemporaryDirectory() as td:
+        export_hub_checkpoint(
+            LoadedModel(cfg, init_backbone(cfg, jax.random.key(0))), td)
+        service = serve.EmbedService(td, buckets=[1, 8, 32])
+        try:
+            service.warmup()
+            img = rng.uniform(-400, 400, (args.img_size, args.img_size)
+                              ).astype(np.float32)
+            sp = [0.7, 0.7, 1.5]
+            for conc in args.concurrency:
+                f0, r0 = service.stats["forwards"], service.stats["requests"]
+                lat: list[float] = []
+                lock = threading.Lock()
+                barrier = threading.Barrier(conc)
+
+                def client():
+                    barrier.wait()
+                    mine = []
+                    for _ in range(args.requests_per_client):
+                        t0 = time.perf_counter()
+                        service.embed([img], [sp])
+                        mine.append(time.perf_counter() - t0)
+                    with lock:
+                        lat.extend(mine)
+
+                threads = [threading.Thread(target=client) for _ in range(conc)]
+                t_all = time.perf_counter()
+                for t in threads:
+                    t.start()
+                for t in threads:
+                    t.join()
+                wall = time.perf_counter() - t_all
+                ms = np.sort(np.asarray(lat)) * 1000
+                served = service.stats["requests"] - r0
+                fwds = service.stats["forwards"] - f0
+                rows.append({
+                    "concurrency": conc,
+                    "p50_ms": round(float(np.percentile(ms, 50)), 1),
+                    "p95_ms": round(float(np.percentile(ms, 95)), 1),
+                    "p99_ms": round(float(np.percentile(ms, 99)), 1),
+                    "req_per_s": round(len(lat) / wall, 1),
+                    "coalesce_ratio": round(served / max(fwds, 1), 2),
+                })
+                print(f"conc={conc}: p50={rows[-1]['p50_ms']}ms "
+                      f"p95={rows[-1]['p95_ms']}ms "
+                      f"{rows[-1]['req_per_s']} req/s "
+                      f"coalesce={rows[-1]['coalesce_ratio']}x", flush=True)
+        finally:
+            service.close()
+    top = rows[-1]
+    print(json.dumps({
+        "metric": f"{args.config.replace('-', '_')}_serve_p95_ms",
+        "value": top["p95_ms"],
+        "unit": "ms",
+        "concurrency": top["concurrency"],
+        "all": rows,
+    }))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="vit-small",
@@ -44,7 +129,16 @@ def main(argv=None) -> int:
                    help="fused LN->QKV->attn->proj half-block kernel "
                         "(ops/fused_attn_block.py) — inference has no "
                         "backward, so its faster forward applies cleanly")
+    p.add_argument("--slo", action="store_true",
+                   help="latency-SLO mode: p50/p95 per-request latency vs "
+                        "concurrency against the serve.py micro-batcher "
+                        "(EmbedService), instead of raw forward throughput")
+    p.add_argument("--concurrency", type=int, nargs="+", default=[1, 4, 16])
+    p.add_argument("--requests-per-client", type=int, default=25)
     args = p.parse_args(argv)
+
+    if args.slo:
+        return slo_bench(args)
 
     from dinox_tpu.models.config import MODEL_CONFIGS
     from dinox_tpu.models.vit import PatchViT

@@ -82,6 +82,14 @@ def parse_args(argv=None):
     p.add_argument("--koleo-weight", type=float, default=0.0)
     p.add_argument("--crop-scale-min", type=float, default=0.3)
     p.add_argument("--crop-scale-max", type=float, default=1.0)
+    p.add_argument("--scale-lr-mult", type=float, default=1.0,
+                   help="LR multiplier for the scale_embed (physics) params "
+                        "— counterfactual-magnitude calibration knob")
+    p.add_argument("--spacing-jitter", type=float, default=0.0,
+                   help="sigma of per-view multiplicative lognormal jitter "
+                        "on the spacing input (e.g. 0.1); damps local "
+                        "spacing over-sensitivity while keeping the global "
+                        "scale pathway")
     p.add_argument("--mu-dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="AdamW first-moment storage dtype (math stays f32)")
@@ -105,6 +113,10 @@ def parse_args(argv=None):
     p.add_argument("--z-stride", type=int, default=1)
     p.add_argument("--diverse-batches", action="store_true")
     p.add_argument("--num-workers", type=int, default=8)
+    p.add_argument("--device-prefetch", type=int, default=2,
+                   help="host->device transfer lookahead for loader-fed runs "
+                        "(batches staged ahead on device; 0 = transfer "
+                        "inline in the step loop)")
     p.add_argument("--canvas", type=int, default=512)
     p.add_argument("--synthetic-device-batches", type=int, default=0,
                    help="pre-stage this many synthetic batches ON DEVICE and "
@@ -134,6 +146,12 @@ def parse_args(argv=None):
                         "so compilation is excluded)")
     p.add_argument("--profile-start", type=int, default=2)
     p.add_argument("--model-parallel", type=int, default=1)
+    # multi-host (jax.distributed over DCN)
+    p.add_argument("--dist-coordinator", default=None,
+                   help="host:port of process 0; enables jax.distributed "
+                        "with --dist-processes/--dist-process-id")
+    p.add_argument("--dist-processes", type=int, default=0)
+    p.add_argument("--dist-process-id", type=int, default=-1)
     return p.parse_args(argv)
 
 
@@ -289,6 +307,13 @@ def main(argv=None) -> int:
 
     import jax
 
+    if args.dist_processes > 1:
+        from dinox_tpu.parallel.mesh import init_distributed
+
+        # must run before the first backend/device query
+        init_distributed(args.dist_coordinator, args.dist_processes,
+                         args.dist_process_id)
+
     from dinox_tpu.data.index import (
         exclude_val_series,
         load_index_rows,
@@ -340,6 +365,8 @@ def main(argv=None) -> int:
         koleo_weight=args.koleo_weight,
         crop_scale_min=args.crop_scale_min,
         crop_scale_max=args.crop_scale_max,
+        scale_lr_mult=args.scale_lr_mult,
+        spacing_jitter=args.spacing_jitter,
         mu_dtype=args.mu_dtype,
         nu_dtype=args.nu_dtype,
         factored_nu=args.factored_nu,
@@ -415,6 +442,13 @@ def main(argv=None) -> int:
     # flash_attention_packed_sharded), so model_parallel > 1 no longer forces
     # the XLA fallback.
     mesh = make_mesh(model_parallel=args.model_parallel)
+    if loader is not None and args.device_prefetch > 0:
+        from dinox_tpu.data.prefetch import DevicePrefetcher
+
+        # Stream upcoming batches to the device while the current step runs
+        # (the trainer passes device-resident batches straight through).
+        batches = DevicePrefetcher(batches, mesh=mesh,
+                                   depth=args.device_prefetch)
     state = create_train_state(cfg, jax.random.key(args.seed))
     state = jax.device_put(state, state_shardings(mesh, state))
     start_step = 0
@@ -451,13 +485,15 @@ def main(argv=None) -> int:
         monitor = TrainingMonitor(
             args.run_dir, cfg.model.replace(img_size=cfg.img_size),
             probe_px, probe_sp, every=args.monitor_every,
+            tensorboard=not args.no_tensorboard,
         )
 
         def on_step(step, _metrics, state):  # noqa: ANN001
             monitor.maybe_snapshot(step, state.student)
 
     args.run_dir.mkdir(parents=True, exist_ok=True)
-    (args.run_dir / "provenance.json").write_text(json.dumps(provenance, indent=2))
+    if jax.process_index() == 0:
+        (args.run_dir / "provenance.json").write_text(json.dumps(provenance, indent=2))
 
     t0 = time.monotonic()
     stop_at = min(args.stop_after or args.max_steps, args.max_steps)

@@ -17,7 +17,7 @@ from dinox_tpu.data.index import (
     write_index_rows,
     z_stride_subsample,
 )
-from dinox_tpu.data.pipeline import SliceStackSource, TrainLoader
+from dinox_tpu.data.pipeline import Batch, SliceStackSource, TrainLoader
 from dinox_tpu.data.sampler import batched, diverse_order, shuffled_order
 
 
@@ -241,3 +241,31 @@ def test_train_loader_multihost_keeps_neighbor_context(index_tree):
             for px in batch.pixels
         ]
         assert any(distinct), "2.5D stacks degenerated to center copies"
+
+
+def test_device_prefetcher_places_and_propagates():
+    """DevicePrefetcher yields device-resident batches in order, lifts
+    (B, ...) to (1, B, ...), finishes cleanly on source exhaustion, and
+    repropagates producer exceptions."""
+    from dinox_tpu.data.prefetch import DevicePrefetcher
+
+    def src(n, fail_at=None):
+        rng = np.random.default_rng(0)
+        for i in range(n):
+            if fail_at is not None and i == fail_at:
+                raise RuntimeError("boom")
+            yield Batch(
+                pixels=rng.integers(30000, 36000, (4, 32, 32, 3), dtype=np.uint16),
+                spacing=np.full((4, 3), float(i), np.float32),
+                indices=np.arange(4),
+            )
+
+    got = list(DevicePrefetcher(src(3), depth=2))
+    assert len(got) == 3
+    for i, b in enumerate(got):
+        assert hasattr(b.pixels, "addressable_shards")  # device-resident
+        assert b.pixels.shape == (1, 4, 32, 32, 3)
+        assert float(np.asarray(b.spacing)[0, 0, 0]) == float(i)  # order kept
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(DevicePrefetcher(src(5, fail_at=1), depth=2))

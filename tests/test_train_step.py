@@ -209,3 +209,42 @@ def test_batch_sharding_layout():
     xs = jax.device_put(x, batch_sharding(mesh))
     assert len(xs.addressable_shards) == 8
     assert xs.addressable_shards[0].data.shape == (2, 4)
+
+
+def test_scale_lr_mult_freezes_physics_layers_at_zero():
+    """scale_lr_mult=0 must leave every scale_embed param untouched by the
+    update (incl. weight decay) while the rest of the model still trains."""
+    cfg = TINY.replace(model=TINY_MODEL.replace(scale_aware=True),
+                       scale_lr_mult=0.0)
+    state = create_train_state(cfg, jax.random.key(0))
+    before = jax.tree_util.tree_map(np.asarray, state.student)
+    step_fn = build_train_step(cfg, donate=False)
+    px, sp = fake_batch(cfg)
+    state, _ = step_fn(state, px, sp)
+    after = jax.tree_util.tree_map(np.asarray, state.student)
+
+    flat_b = jax.tree_util.tree_flatten_with_path(before)[0]
+    flat_a = jax.tree_util.tree_flatten_with_path(after)[0]
+    n_se = n_se_same = n_other_changed = 0
+    for (path, b), (_, a) in zip(flat_b, flat_a):
+        in_se = any(getattr(k, "key", None) == "scale_embed" for k in path)
+        if in_se:
+            n_se += 1
+            n_se_same += int(np.array_equal(b, a))
+        elif not np.array_equal(b, a):
+            n_other_changed += 1
+    assert n_se > 0 and n_se_same == n_se, "scale_embed params moved"
+    assert n_other_changed > 0, "non-physics params did not train"
+
+
+def test_spacing_jitter_changes_loss_but_stays_finite():
+    """scale_embed is ZERO-INIT, so jitter cannot move the step-1 loss; by
+    step 2 the (jitter-dependent) step-1 gradient has made the pathway live
+    and the losses must diverge."""
+    cfg0 = TINY.replace(model=TINY_MODEL.replace(scale_aware=True))
+    cfgj = cfg0.replace(spacing_jitter=0.1)
+    _, h0 = run_steps(cfg0, 2)
+    _, hj = run_steps(cfgj, 2)
+    assert np.isfinite([h["loss"] for h in hj]).all()
+    assert hj[0]["loss"] == h0[0]["loss"], "zero-init scale_embed broke"
+    assert hj[1]["loss"] != h0[1]["loss"], "jitter had no effect on the loss"
