@@ -120,3 +120,37 @@ def test_extract_lidc_malignancy_raw_consensus(synth, tmp_path):
     assert all_rows
     assert {"avg_malignancy", "n_raters", "rater_agreement"} <= set(all_rows[0])
     assert all(int(r["n_raters"]) >= 2 for r in all_rows)
+
+
+def test_temperature_resample_cli(tmp_path):
+    # imbalanced 3-dataset index: T=2.0 quotas follow sqrt(n) weights,
+    # oversampling the small dataset and subsampling the large one
+    src = tmp_path / "combined.csv"
+    fieldnames = ["png_path", "series_dir", "slice_index", "encoding",
+                  "spacing_x", "spacing_y", "spacing_z", "dataset"]
+    with open(src, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=fieldnames)
+        w.writeheader()
+        for ds, n in (("big", 100), ("small", 10), ("mid", 30)):
+            for i in range(n):
+                w.writerow(dict(png_path=f"{ds}/{i}.png", series_dir=f"{ds}/s{i % 5}",
+                                slice_index=i, encoding="hu16", spacing_x=0.7,
+                                spacing_y=0.7, spacing_z=1.5, dataset=ds))
+    out = tmp_path / "resampled.csv"
+    run(PRE / "temperature_resample.py", "--index", src, "--out", out,
+        "--temperature", "2.0", "--seed", "7")
+
+    from collections import Counter
+
+    from dinox_tpu.data.index import load_index_rows
+    from dinox_tpu.zoo.merge import _allocate_quotas, temperature_weights
+
+    rows = load_index_rows(out)
+    assert len(rows) == 140
+    got = Counter(r.dataset for r in rows)
+    expect = dict(zip(["big", "mid", "small"],
+                      _allocate_quotas(140, temperature_weights([100, 30, 10]))))
+    assert got == expect
+    assert got["small"] > 10 and got["big"] < 100  # over/sub-sampled
+    # oversampled rows still point at real slices
+    assert all(r.png_path.startswith(r.dataset) for r in rows)
