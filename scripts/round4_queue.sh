@@ -30,18 +30,18 @@ stage_train_grid() {
   note "=== B. host-fed train grid (real step, data-wait split)"
   timeout 2400 python scripts/tune_throughput.py --config vit-small --scale-aware \
     --index-csv $TRAIN512/index.csv --canvas 512 \
-    --batch-sizes 64 --num-workers 8 16 --prefetch 2 4 \
-    --inflate 4 --steps 20 --warmup 3 \
+    --batch-sizes 64 --num-workers 4 8 --prefetch 2 4 \
+    --inflate 4 --steps 12 --warmup 3 \
     --out-dir docs/round4/tune_hostfed >> "$LOG" 2>&1
   note "train grid rc=$?"
 }
 
 stage_hostfed() {
   note "=== C. host-fed production run: ViT-S 1K steps from disk (VERDICT #1)"
-  timeout 5400 python scripts/pretrain.py --config vit-small --scale-aware \
+  timeout 7200 python scripts/pretrain.py --config vit-small --scale-aware \
     --index-csv $TRAIN512/index.csv --split-manifest $TRAIN512/split_manifest.json \
     --batch-size 64 --max-steps 1000 --canvas 512 \
-    --num-workers "${HOSTFED_WORKERS:-16}" --device-prefetch 2 \
+    --num-workers "${HOSTFED_WORKERS:-4}" --device-prefetch 2 \
     --log-json --ckpt-every 1000 --ckpt-timeout 900 --monitor-every 0 \
     --run-dir data/runs/hostfed_1k >> "$LOG" 2>&1
   note "hostfed rc=$?"

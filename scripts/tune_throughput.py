@@ -190,26 +190,42 @@ def measure(args, batch_size: int, num_workers: int, prefetch: int) -> dict:
 
         state = create_train_state(cfg, jax.random.key(0))
         step_fn = build_train_step(cfg, donate=True)
-        t_data, t_step = [], []
+        # Three-way segmentation per optimizer update (reference
+        # tune_throughput.py tracks data/h2d/compute separately): host
+        # data-wait, explicit host->device transfer, device step. On a
+        # tunneled chip h2d can dominate; folding it into device time
+        # misclassifies the bound.
+        t_data, t_h2d, t_step = [], [], []
         for i in range(args.warmup + args.steps):
             t0 = time.perf_counter()
             pixels, spacing = next(it)
             t1 = time.perf_counter()
-            state, m = step_fn(state, pixels, spacing)
-            jax.block_until_ready(m["loss"])
+            dev = jax.device_put((pixels, spacing))
+            jax.block_until_ready(dev)
             t2 = time.perf_counter()
+            state, m = step_fn(state, *dev)
+            jax.block_until_ready(m["loss"])
+            t3 = time.perf_counter()
             if i >= args.warmup:
                 t_data.append(t1 - t0)
-                t_step.append(t2 - t1)
-        data_s, step_s = float(np.mean(t_data)), float(np.mean(t_step))
-        total = data_s + step_s
+                t_h2d.append(t2 - t1)
+                t_step.append(t3 - t2)
+        data_s, h2d_s, step_s = (float(np.mean(t)) for t in (t_data, t_h2d, t_step))
+        total = data_s + h2d_s + step_s
+        legs = {"io_bound": data_s, "h2d_bound": h2d_s, "compute_bound": step_s}
         rec.update(
             data_wait_s=round(data_s, 4),
+            h2d_s=round(h2d_s, 4),
+            h2d_mb_per_s=round(
+                batch_size * args.canvas * args.canvas * 3 * 2 / max(h2d_s, 1e-9) / 1e6, 1),
             device_step_s=round(step_s, 4),
             step_total_s=round(total, 4),
             data_wait_frac=round(data_s / total, 3),
             img_per_s=round(batch_size / total, 1),
-            bound="io_bound" if data_s > 0.2 * total else "compute_bound",
+            # upper bound with perfect loader/transfer/compute overlap
+            # (what --device-prefetch approximates in the trainer)
+            img_per_s_overlapped=round(batch_size / max(legs.values()), 1),
+            bound=max(legs, key=legs.get),
         )
         rec.update(_usage_snapshot())
         try:
