@@ -48,6 +48,17 @@ class ModelConfig:
     # nn.GELU) via zoo/hub._cfg_from_dict, so torch parity is preserved
     # per-model. The field travels with every checkpoint's config.json.
     gelu_approx: bool = True
+    # ScaleEmbedding LayerNorm gamma init (calibration knob): the trailing LN
+    # pins the scale token's norm at sqrt(dim)*rms(gamma) as soon as fc2
+    # leaves zero-init, regardless of the raw signal size — at gamma=1 that is
+    # ~3x the patch-token norm and the spacing counterfactual magnitude tracks
+    # the mix ratio (docs/round4/*_scale_diag.json). Initializing gamma small
+    # starts the spacing pathway at a proportionate share of the residual
+    # stream; weight decay (applied to all params, reference parity —
+    # reference scripts/phase5_big_run.py:1621 uses ungrouped AdamW) keeps it
+    # there unless the loss actively grows it. 1.0 = flax default, bit-exact
+    # with all previous checkpoints.
+    scale_gamma_init: float = 1.0
     dtype: str = "bfloat16"  # compute dtype; params always float32
     # LoRA (first-class; reference wraps HF peft instead — zoo/peft.py)
     lora_rank: int = 0

@@ -287,6 +287,7 @@ class ScaleEmbedding(nn.Module):
 
     dim: int
     dtype: Dtype = jnp.float32
+    gamma_init: float = 1.0  # LN scale init (see ModelConfig.scale_gamma_init)
 
     @nn.compact
     def __call__(self, spacing: jnp.ndarray) -> jnp.ndarray:
@@ -300,7 +301,10 @@ class ScaleEmbedding(nn.Module):
             self.dim, dtype=self.dtype, param_dtype=jnp.float32,
             kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros, name="fc2",
         )(x)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm")(x)
+        x = nn.LayerNorm(
+            epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32,
+            scale_init=nn.initializers.constant(self.gamma_init), name="norm",
+        )(x)
         return x[:, None, :]
 
 
@@ -337,7 +341,8 @@ class PatchViT(nn.Module):
                 "registers", trunc02, (1, cfg.num_registers, cfg.dim), jnp.float32
             )
         if cfg.scale_aware:
-            self.scale_embed = ScaleEmbedding(cfg.dim, dtype=dtype)
+            self.scale_embed = ScaleEmbedding(
+                cfg.dim, dtype=dtype, gamma_init=cfg.scale_gamma_init)
         lora = (
             (cfg.lora_rank, cfg.lora_alpha, cfg.lora_dropout, tuple(cfg.lora_targets))
             if cfg.lora_rank > 0

@@ -38,6 +38,17 @@ def init_distributed(
             num_processes=num_processes,
             process_id=process_id,
         )
+        # Pre-warm the global-devices collective context while all processes
+        # are still in lockstep. Distributed checkpoint saves (orbax) issue a
+        # cross-process broadcast lazily; creating that context mid-run races
+        # a hard 30 s key-exchange deadline against whatever skew the hosts
+        # have accumulated (observed: Gloo "GetKeyValue() timed out" killing
+        # the FINAL save of an otherwise-successful CPU 2-process run when a
+        # loaded host delayed one rank). Paying the exchange here, behind the
+        # init barrier, makes later collective setup a cache hit.
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("dinox_tpu:init_distributed")
 
 
 def make_mesh(

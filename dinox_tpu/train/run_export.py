@@ -28,10 +28,32 @@ def train_config_from_run(run_dir: str | Path) -> TrainConfig:
     return TrainConfig(model=model_cfg, **kw)
 
 
-def load_state_from_run(run_dir: str | Path, step: Optional[int] = None):
-    """(TrainState, TrainConfig, meta) from a run directory."""
+def load_state_from_run(
+    run_dir: str | Path, step: Optional[int] = None, host: bool = False
+):
+    """(TrainState, TrainConfig, meta) from a run directory.
+
+    ``host=True`` restores into host (CPU) memory from an abstract template —
+    no init compute, nothing staged to the accelerator. Essential when only a
+    slice of the state is wanted on device: the full ViT-Giant TrainState
+    (student + teacher + optimizer moments, ~14 GB f32) does not fit next to
+    eval activations on one 16 GB chip, which OOMed the round-4 retrieval
+    eval (docs/round4/vitg_2k_view_retrieval.log)."""
     cfg = train_config_from_run(run_dir)
-    template = create_train_state(cfg, jax.random.key(0))
+    if host:
+        # numpy-leaf template: orbax restores each leaf as np.ndarray in host
+        # memory, with no jax backend involved — works on axon-only chip
+        # hosts where no cpu backend is registered (jax.devices("cpu") and
+        # ShapeDtypeStruct shardings are both unavailable there), and ignores
+        # the device shardings recorded in the checkpoint.
+        import numpy as np
+
+        abstract = jax.eval_shape(lambda: create_train_state(cfg, jax.random.key(0)))
+        template = jax.tree_util.tree_map(
+            lambda a: np.zeros(a.shape, a.dtype), abstract
+        )
+    else:
+        template = create_train_state(cfg, jax.random.key(0))
     mgr = CheckpointManager(run_dir, keep_last=1)
     try:
         state, meta = mgr.restore(template, step=step)
@@ -43,8 +65,15 @@ def load_state_from_run(run_dir: str | Path, step: Optional[int] = None):
 def load_backbone_from_run(
     run_dir: str | Path, step: Optional[int] = None, source: str = "student"
 ) -> LoadedModel:
-    """Student (or teacher) backbone from a run checkpoint as a LoadedModel."""
-    state, cfg, _ = load_state_from_run(run_dir, step=step)
-    tree = getattr(state, source)
+    """Student (or teacher) backbone from a run checkpoint as a LoadedModel.
+
+    Restores on host and stages ONLY the backbone subtree to the default
+    device, so teacher + optimizer state never occupy HBM (the reference's
+    ``load_from_training_checkpoint`` similarly extracts just the student
+    backbone, zoo/hub.py:74-149)."""
+    state, cfg, _ = load_state_from_run(run_dir, step=step, host=True)
+    tree = getattr(state, source)["backbone"]
+    del state
+    tree = jax.device_put(tree, jax.devices()[0])
     mcfg = cfg.model.replace(img_size=cfg.img_size)
-    return LoadedModel(mcfg, tree["backbone"])
+    return LoadedModel(mcfg, tree)

@@ -49,7 +49,7 @@ def main(argv=None) -> int:
 
             from dinox_tpu.train.run_export import load_state_from_run
 
-            state, _, meta = load_state_from_run(run)
+            state, _, meta = load_state_from_run(run, host=True)
             n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.student))
             print(f"latest: step={meta['step']} params={n_params/1e6:.1f}M "
                   f"center_norm={float(abs(state.center).mean()):.4f} "

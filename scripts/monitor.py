@@ -55,7 +55,9 @@ def snapshot(args) -> dict:
     from dinox_tpu.train.losses import gram_matrix
     from dinox_tpu.train.run_export import load_backbone_from_run, load_state_from_run
 
-    state, cfg, meta = load_state_from_run(args.run_dir)
+    # host=True: the monitor runs alongside training on the same chip — only
+    # the backbone (via load_backbone_from_run) should ever touch HBM.
+    state, cfg, meta = load_state_from_run(args.run_dir, host=True)
     model = load_backbone_from_run(args.run_dir)
     pixels, spacing = probe_batch(args)
     x = eval_transform(jnp.asarray(pixels), img_size=model.img_size)

@@ -90,6 +90,10 @@ def parse_args(argv=None):
                         "on the spacing input (e.g. 0.1); damps local "
                         "spacing over-sensitivity while keeping the global "
                         "scale pathway")
+    p.add_argument("--scale-gamma-init", type=float, default=1.0,
+                   help="ScaleEmbedding LayerNorm gamma init (<1 starts the "
+                        "spacing token at a proportionate share of the "
+                        "residual stream — counterfactual calibration)")
     p.add_argument("--mu-dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="AdamW first-moment storage dtype (math stays f32)")
@@ -335,6 +339,7 @@ def main(argv=None) -> int:
         use_grad_checkpoint=args.grad_checkpoint,
         fused_attn=args.fused_attn,
         gelu_approx=args.gelu_approx or args.gelu == "tanh",
+        scale_gamma_init=args.scale_gamma_init,
     )
     # Resolve resume BEFORE building state: the resumed run's stored model
     # config wins over CLI-rebuilt fields (reconcile_resume_model_config).

@@ -168,3 +168,35 @@ def test_gelu_variant_follows_checkpoint_provenance():
     assert _cfg_from_dict({"dim": 384, "depth": 12, "heads": 6}).gelu_approx is False
     assert _cfg_from_dict({"dim": 384, "depth": 12, "heads": 6,
                            "gelu_approx": True}).gelu_approx is True
+
+
+def test_scale_gamma_init_scales_pinned_norm():
+    """The trailing LN pins the scale token norm at sqrt(dim)*rms(gamma) once
+    fc2 leaves zero-init; `scale_gamma_init` sets gamma (and hence the
+    scale/token input-mix ratio) proportionally, and 1.0 is the flax default
+    (bit-exact with prior checkpoints)."""
+    sp = jnp.asarray([[0.5, 0.5, 1.0], [2.0, 2.0, 5.0]])
+
+    def out_norm(gamma_init):
+        se = ScaleEmbedding(64, gamma_init=gamma_init)
+        p = se.init(jax.random.key(0), sp)
+        assert np.allclose(np.asarray(p["params"]["norm"]["scale"]), gamma_init)
+        # un-zero fc2 to leave the zero-init regime
+        p = jax.tree_util.tree_map(lambda v: v, p)
+        p["params"]["fc2"]["kernel"] = (
+            jax.random.normal(jax.random.key(3), p["params"]["fc2"]["kernel"].shape) * 0.1
+        )
+        out = se.apply(p, sp)
+        return float(np.mean(np.linalg.norm(np.asarray(out)[:, 0, :], axis=-1)))
+
+    n_full, n_quarter = out_norm(1.0), out_norm(0.25)
+    assert n_quarter == pytest.approx(n_full * 0.25, rel=1e-5)
+
+
+def test_scale_gamma_init_threads_through_config():
+    cfg = TINY.replace(scale_aware=True, scale_gamma_init=0.25)
+    params = init_backbone(cfg, jax.random.key(1))
+    assert np.allclose(np.asarray(params["scale_embed"]["norm"]["scale"]), 0.25)
+    # round-trips through config dicts (hub/export compat)
+    from dinox_tpu.models.config import ModelConfig as MC
+    assert MC.from_dict(cfg.to_dict()).scale_gamma_init == 0.25

@@ -177,3 +177,30 @@ def test_trainer_raises_on_wedged_final_save(tmp_path, monkeypatch):
             ckpt_timeout_s=0.5, tensorboard=False,
         )
     hang.set()
+
+
+def test_load_backbone_from_run_restores_on_host(tmp_path):
+    """load_backbone_from_run stages ONLY the backbone to the default device;
+    the full state restores from an abstract template into host memory (a
+    concrete ViT-G TrainState — student+teacher+moments, ~14 GB — OOMed the
+    single chip next to eval activations, docs/round4 retrieval log)."""
+    import json
+
+    from dinox_tpu.train.run_export import load_backbone_from_run, load_state_from_run
+    from dinox_tpu.train.trainer import config_dict
+
+    state = create_train_state(TINY, jax.random.key(0))
+    run = tmp_path / "run"
+    mgr = CheckpointManager(run, async_save=False)
+    mgr.save(3, state)
+    mgr.close()
+    (run / "config.json").write_text(json.dumps(config_dict(TINY), default=str))
+
+    hstate, _, meta = load_state_from_run(run, host=True)
+    assert meta["step"] == 3
+    for leaf in jax.tree_util.tree_leaves(hstate):
+        assert isinstance(leaf, np.ndarray)  # host memory, no device at all
+    trees_equal(hstate, state)
+
+    model = load_backbone_from_run(run)
+    trees_equal(model.params, state.student["backbone"])

@@ -60,3 +60,25 @@ def test_ledger_scrape_notes_and_manual_tail(tmp_path):
     assert md2.count(mod.MANUAL_MARK) == 1
     assert "| gone | run |" in md2
     assert md2.index("| alpha |") < md2.index(mod.MANUAL_MARK)
+
+def test_ledger_preserves_rows_for_cleaned_run_dirs(tmp_path):
+    """Run dirs are scratch, the ledger is the record: deleting a run dir
+    and regenerating must keep the finished run's row (round-4 regression —
+    a post-cleanup regen erased all historical rows)."""
+    mod = _load()
+    runs, out = tmp_path / "runs", tmp_path / "docs"
+    _mk_run(runs, "alpha")
+    _mk_run(runs, "beta", loss=0.5)
+    assert mod.main(["--runs-dir", str(runs), "--out-dir", str(out)]) == 0
+
+    import shutil
+    shutil.rmtree(runs / "alpha")
+    _mk_run(runs, "gamma", loss=0.1)
+    for _ in range(2):  # idempotent
+        assert mod.main(["--runs-dir", str(runs), "--out-dir", str(out)]) == 0
+
+    rows = {r["run"]: r for r in csv.DictReader(open(out / "experiments.csv"))}
+    assert set(rows) == {"alpha", "beta", "gamma"}
+    assert rows["alpha"]["final_loss"] == "1.5"  # scraped values survive
+    md = (out / "EXPERIMENTS.md").read_text()
+    assert md.index("| alpha |") < md.index("| beta |") < md.index("| gamma |")
