@@ -158,7 +158,12 @@ def main() -> int:
         ("tanh", True, False),
         ("tanh+fused_attn", True, True),
     ):
-        for bs in (128,):  # sweep showed bs128 > bs256 on one v5e chip
+        # bs96 is the single-chip peak: the round-4 per-HLO-category sweep
+        # (docs/round4/batch_sweep.json) measured 884.2 slices/s at 96 vs
+        # 872.6 at 128 and 798.6 at 256 — attention custom-call time grows
+        # super-linearly past 96 at the seq-261 shape while conv fusions
+        # stay flat per sample.
+        for bs in (96,):
             try:
                 rate = bench_train_step(bs, gelu_approx=approx, fused_attn=fused)
             except Exception as e:  # OOM: keep the best smaller one

@@ -111,6 +111,22 @@ def dataset_discrimination_probe(
     prob = clf.predict_proba(embeddings[test_idx])
     pred = prob.argmax(axis=1)
     acc = float(accuracy_score(y_te, pred))
+
+    # Nonlinear counterpart on the SAME series split (beyond the reference's
+    # linear-only probe, scripts/evaluate_panorgan.py:313-416): cosine-kNN
+    # majority vote. Disambiguates two failure stories the linear number
+    # can't: kNN holding while linear falls = info present but not linearly
+    # separable; both falling = dataset information genuinely fading across
+    # series (what the v2 50K run showed — unsupervised clustering purity was
+    # carried by same-series neighbors, docs/ROUND4_RESULTS.md).
+    kk = min(10, len(train_idx))
+    sim = embeddings[test_idx] @ embeddings[train_idx].T
+    nn_idx = np.argpartition(-sim, kth=kk - 1, axis=1)[:, :kk]
+    votes = y_tr[nn_idx]
+    knn_pred = np.asarray(
+        [np.bincount(v, minlength=len(uniq)).argmax() for v in votes]
+    )
+    knn_acc = float(accuracy_score(y_te, knn_pred))
     if len(uniq) == 2:
         auc = float(roc_auc_score(y_te, prob[:, 1]))
     else:
@@ -140,6 +156,8 @@ def dataset_discrimination_probe(
         "accuracy": acc,
         "accuracy_ci95": ci,
         "auc": auc,
+        "knn_accuracy": knn_acc,
+        "knn_k": kk,
         "note": "dataset discrimination (not organ — confounded by scanner/protocol)",
     }
 

@@ -66,6 +66,26 @@ def test_probe_separates_clustered_not_random():
     assert lo <= good["accuracy"] <= hi or good["accuracy"] >= lo
 
 
+def test_knn_probe_sees_nonlinear_structure_linear_probe_misses():
+    """Antipodal clusters: class A lives at ±e0, class B at ±e1. Both class
+    means are ~0 so no hyperplane separates them, but cosine-kNN is perfect.
+    This is the v2-50K signature (linear probe degrades while kNN holds =>
+    information present, not linearly separable)."""
+    rng = np.random.default_rng(3)
+    rows, embs = [], []
+    for d in range(2):
+        for s in range(12):
+            sign = 1.0 if s % 2 == 0 else -1.0
+            for _ in range(8):
+                e = rng.normal(size=32) * 0.05
+                e[d] += sign * 3.0
+                rows.append(FakeRow(series_dir=f"ds{d}/s{s}", dataset=f"ds{d}"))
+                embs.append(e)
+    out = M.dataset_discrimination_probe(l2n(np.stack(embs)), rows)
+    assert out["knn_accuracy"] > 0.95
+    assert out["accuracy"] < 0.75  # linear probe can't split antipodal pairs
+
+
 def test_probe_split_has_no_series_leakage():
     rows = make_rows()
     train_idx, test_idx = M.series_level_split(rows)
