@@ -381,13 +381,13 @@ class PatchViT(nn.Module):
     def run_final_norm(self, x: jnp.ndarray) -> jnp.ndarray:
         return self.norm(x.astype(jnp.float32))
 
-    def __call__(
-        self,
-        x: jnp.ndarray,
-        spacing: Optional[jnp.ndarray] = None,
-        *,
-        train: bool = False,
+    def embed(
+        self, x: jnp.ndarray, spacing: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
+        """Everything before the block stack: patch embed + CLS + positional
+        + scale token + registers -> (B, N, dim). Split out so the pipeline-
+        parallel path (parallel/pipeline.py) can run embed / blocks / finalize
+        as separate program regions."""
         cfg = self.cfg
         dtype = self._dtype
         B = x.shape[0]
@@ -403,6 +403,16 @@ class PatchViT(nn.Module):
                 [x, jnp.broadcast_to(self.registers.astype(dtype), (B, cfg.num_registers, cfg.dim))],
                 axis=1,
             )
+        return x
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        spacing: Optional[jnp.ndarray] = None,
+        *,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        x = self.embed(x, spacing)
         x = self.run_blocks(x, train=train)
         return self.run_final_norm(x)
 
@@ -463,6 +473,18 @@ class DinoStudentTeacher(nn.Module):
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Returns (head_output (B, out_dim), all_tokens (B, N, dim))."""
         feats = self.backbone(x, spacing, train=train)
+        return self.head(feats[:, 0]), feats
+
+    # Pipeline-parallel seams (parallel/pipeline.py): embed and finalize run
+    # as ordinary GSPMD regions on either side of the shard_mapped block
+    # rotation. Their params live in the PP state's "rest" tree.
+    def embed(
+        self, x: jnp.ndarray, spacing: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        return self.backbone.embed(x, spacing)
+
+    def finalize(self, tokens: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        feats = self.backbone.run_final_norm(tokens)
         return self.head(feats[:, 0]), feats
 
 

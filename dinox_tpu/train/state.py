@@ -63,6 +63,12 @@ class TrainConfig:
     #   global scale pathway (R^2 keeps working through the jitter).
     scale_lr_mult: float = 1.0
     spacing_jitter: float = 0.0
+    # Pipeline parallelism (train/pp_step.py; no reference analog —
+    # SURVEY.md §2.5): stages over the mesh's `pipe` axis, microbatches
+    # rotated stage->stage via lax.ppermute. pp_microbatches=None -> one per
+    # stage (minimum); more shrinks the (S-1)/(M+S-1) GPipe bubble.
+    pipeline_parallel: int = 1
+    pp_microbatches: Optional[int] = None
     # Reproducibility
     train_seed: int = 0
     # Adam moment dtypes. "bfloat16" halves the optimizer buffers — needed to

@@ -150,6 +150,13 @@ def parse_args(argv=None):
                         "so compilation is excluded)")
     p.add_argument("--profile-start", type=int, default=2)
     p.add_argument("--model-parallel", type=int, default=1)
+    p.add_argument("--pipeline-parallel", type=int, default=1,
+                   help="pipeline stages over a (data, pipe) mesh "
+                        "(train/pp_step.py GPipe rotation); mutually "
+                        "exclusive with --model-parallel")
+    p.add_argument("--pp-microbatches", type=int, default=None,
+                   help="pipeline microbatches (default: one per stage; more "
+                        "shrinks the (S-1)/(M+S-1) bubble)")
     # multi-host (jax.distributed over DCN)
     p.add_argument("--dist-coordinator", default=None,
                    help="host:port of process 0; enables jax.distributed "
@@ -375,6 +382,8 @@ def main(argv=None) -> int:
         mu_dtype=args.mu_dtype,
         nu_dtype=args.nu_dtype,
         factored_nu=args.factored_nu,
+        pipeline_parallel=args.pipeline_parallel,
+        pp_microbatches=args.pp_microbatches,
         train_seed=args.seed,
     )
 
@@ -446,7 +455,22 @@ def main(argv=None) -> int:
     # over the (data, model) mesh (ops/flash_attention.py:
     # flash_attention_packed_sharded), so model_parallel > 1 no longer forces
     # the XLA fallback.
-    mesh = make_mesh(model_parallel=args.model_parallel)
+    if args.pipeline_parallel > 1:
+        # (data, pipe) mesh: transformer depth sharded over `pipe`, the GPipe
+        # rotation of train/pp_step.py. Mutually exclusive with tensor
+        # parallelism for now (parallel/pipeline.py module docstring).
+        if args.model_parallel > 1:
+            print("error: --pipeline-parallel and --model-parallel are "
+                  "mutually exclusive", file=sys.stderr)
+            return 2
+        from dinox_tpu.parallel.pipeline import make_pp_mesh, pp_state_shardings
+        from dinox_tpu.train.pp_step import build_pp_train_step, create_pp_train_state
+
+        mesh = make_pp_mesh(jax.devices(), args.pipeline_parallel)
+        state_shardings_fn = pp_state_shardings
+    else:
+        mesh = make_mesh(model_parallel=args.model_parallel)
+        state_shardings_fn = state_shardings
     if loader is not None and args.device_prefetch > 0:
         from dinox_tpu.data.prefetch import DevicePrefetcher
 
@@ -454,21 +478,27 @@ def main(argv=None) -> int:
         # (the trainer passes device-resident batches straight through).
         batches = DevicePrefetcher(batches, mesh=mesh,
                                    depth=args.device_prefetch)
-    state = create_train_state(cfg, jax.random.key(args.seed))
-    state = jax.device_put(state, state_shardings(mesh, state))
+    if args.pipeline_parallel > 1:
+        state = create_pp_train_state(cfg, jax.random.key(args.seed), mesh)
+    else:
+        state = create_train_state(cfg, jax.random.key(args.seed))
+        state = jax.device_put(state, state_shardings_fn(mesh, state))
     start_step = 0
     if resume_dir is not None and (resume_dir / "ckpt").exists():
         mgr = CheckpointManager(resume_dir, keep_last=args.ckpt_keep_last)
         state, meta = mgr.restore(state)
         mgr.close()
-        state = jax.device_put(state, state_shardings(mesh, state))
+        state = jax.device_put(state, state_shardings_fn(mesh, state))
         start_step = int(meta["step"])
         print(f"resumed from {resume_dir} at step {start_step}", flush=True)
         if loader is not None:
             loader.epoch = meta.get("loader_epoch", 0)
             loader.batch_in_epoch = meta.get("loader_batch", 0)
 
-    step_fn = build_train_step(cfg, mesh=mesh)
+    if args.pipeline_parallel > 1:
+        step_fn = build_pp_train_step(cfg, mesh)
+    else:
+        step_fn = build_train_step(cfg, mesh=mesh)
 
     on_step = None
     if args.monitor_every > 0:
