@@ -41,6 +41,13 @@ class ModelConfig:
     # (ops/fused_attn_block.py). Identical params/checkpoints; ignored with
     # LoRA, non-pallas attn_impl, or a multi-device mesh (TP shard_map path).
     fused_attn: bool = False
+    # Megatron sequence parallelism (only meaningful with tensor parallelism,
+    # i.e. a mesh with model>1): constrain the token axis onto the `model`
+    # axis in the LN/residual regions so GSPMD lowers the attention/MLP
+    # boundary all-reduces to reduce-scatter + all-gather and runs the
+    # elementwise math 1/tp-sharded. Pure sharding annotation — identical
+    # math and checkpoints; no-op off-mesh.
+    sequence_parallel: bool = False
     # MLP nonlinearity. Natively-trained models default to the tanh-approximate
     # GELU (flax's own default; quality-validated against the exact arm on the
     # two-organ MVP anchor — docs/EXPERIMENTS.md `mvp_gelu_tanh`, +23% step

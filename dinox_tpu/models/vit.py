@@ -38,6 +38,7 @@ from jax.sharding import Mesh
 
 from dinox_tpu.models.config import ModelConfig
 from dinox_tpu.models.lora import LoraDense
+from dinox_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 Dtype = jnp.dtype
 
@@ -236,11 +237,29 @@ class TransformerBlock(nn.Module):
     fused_mlp: bool = False
     fused_attn: bool = False
     gelu_approx: bool = False
+    sequence_parallel: bool = False
     mesh: Optional[Mesh] = None
+
+    def _sp(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Megatron sequence parallelism: in tensor-parallel mode the
+        LN/residual regions are elementwise over tokens, so the token axis is
+        constrained onto the `model` axis there. GSPMD then materializes the
+        attention/MLP boundary collectives as reduce-scatter + all-gather
+        instead of all-reduce and runs the LN/residual math 1/tp-sharded —
+        same math, less replicated activation memory and elementwise time.
+        A constraint only; no-op off-mesh."""
+        if not (self.sequence_parallel and _is_multidevice(self.mesh)
+                and self.mesh.shape.get(MODEL_AXIS, 1) > 1):
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, P(DATA_AXIS, MODEL_AXIS, None)))
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         ln = partial(nn.LayerNorm, epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32)
+        x = self._sp(x)
         # Fused half-block kernel: LN1 -> QKV -> attention -> proj -> +res in
         # one VMEM-resident pass (ops/fused_attn_block.py). Same params /
         # checkpoint paths; excluded under LoRA (adapters need the Dense
@@ -255,10 +274,10 @@ class TransformerBlock(nn.Module):
                 x.astype(self.dtype), g, b, wqkv, bqkv, wproj, bproj, self.heads
             )
         else:
-            x = x + Attention(
+            x = self._sp(x + Attention(
                 self.dim, self.heads, attn_impl=self.attn_impl, dtype=self.dtype,
                 lora=self.lora, mesh=self.mesh, name="attn",
-            )(ln(name="norm1")(x), train=train)
+            )(ln(name="norm1")(x), train=train))
         # fused_mlp_block hard-wires the exact erf GELU; route tanh-GELU
         # configs to the unfused path (like the LoRA exclusion) rather than
         # silently computing a different nonlinearity than configured.
@@ -274,7 +293,7 @@ class TransformerBlock(nn.Module):
                     gelu_approx=self.gelu_approx, name="mlp")(
             ln(name="norm2")(x), train=train
         )
-        return x
+        return self._sp(x)
 
 
 class ScaleEmbedding(nn.Module):
@@ -354,6 +373,7 @@ class PatchViT(nn.Module):
                 attn_impl=cfg.attn_impl, dtype=dtype, lora=lora,
                 fused_mlp=cfg.fused_mlp, fused_attn=cfg.fused_attn,
                 gelu_approx=cfg.gelu_approx,
+                sequence_parallel=cfg.sequence_parallel,
                 mesh=self.mesh,
             )
             for _ in range(cfg.depth)

@@ -38,17 +38,32 @@ def init_distributed(
             num_processes=num_processes,
             process_id=process_id,
         )
-        # Pre-warm the global-devices collective context while all processes
-        # are still in lockstep. Distributed checkpoint saves (orbax) issue a
-        # cross-process broadcast lazily; creating that context mid-run races
-        # a hard 30 s key-exchange deadline against whatever skew the hosts
-        # have accumulated (observed: Gloo "GetKeyValue() timed out" killing
-        # the FINAL save of an otherwise-successful CPU 2-process run when a
-        # loaded host delayed one rank). Paying the exchange here, behind the
-        # init barrier, makes later collective setup a cache hit.
+        # Align processes right after init, then run one real collective as a
+        # fail-fast health check of the CPU-collectives (Gloo) transport.
+        # NOTE: each newly compiled executable with collectives performs its
+        # OWN Gloo rendezvous under a hard ~30 s deadline, so this warm-up
+        # does NOT protect later programs — what protects them is (a) the
+        # host-fingerprinted compilation cache (utils/platform.py), which
+        # keeps the processes' compile times symmetric, and (b) host_barrier
+        # calls at skew-prone points (trainer final save).
+        host_barrier("dinox_tpu:init_distributed")
         from jax.experimental import multihost_utils
 
         multihost_utils.sync_global_devices("dinox_tpu:init_distributed")
+
+
+def host_barrier(name: str, timeout_s: int = 600) -> None:
+    """Cross-process barrier over the coordination service (gRPC), NOT a
+    device collective: no compile, no Gloo context, minutes-scale timeout.
+    Use at points where processes may have drifted far apart (e.g. before
+    the final checkpoint save) so that any *subsequent* freshly compiled
+    collective program is dispatched by all processes within the Gloo
+    rendezvous deadline. No-op when not distributed."""
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is not None:
+        client.wait_at_barrier(name, timeout_in_ms=timeout_s * 1000)
 
 
 def make_mesh(

@@ -40,6 +40,23 @@ def load_state_from_run(
     eval activations on one 16 GB chip, which OOMed the round-4 retrieval
     eval (docs/round4/vitg_2k_view_retrieval.log)."""
     cfg = train_config_from_run(run_dir)
+
+    def build():
+        state = create_train_state(cfg, jax.random.key(0))
+        if cfg.pipeline_parallel > 1:
+            # PP runs checkpoint the stage-stacked {"rest", "blocks"} layout
+            # (train/pp_step.py); mirror it so the tree matches on restore.
+            from dinox_tpu.parallel.pipeline import split_model_params
+            from dinox_tpu.train.state import make_optimizer
+
+            student = split_model_params(state.student, cfg.pipeline_parallel)
+            state = state.replace(
+                student=student,
+                teacher=split_model_params(state.teacher, cfg.pipeline_parallel),
+                opt_state=make_optimizer(cfg).init(student),
+            )
+        return state
+
     if host:
         # numpy-leaf template: orbax restores each leaf as np.ndarray in host
         # memory, with no jax backend involved — works on axon-only chip
@@ -48,17 +65,26 @@ def load_state_from_run(
         # the device shardings recorded in the checkpoint.
         import numpy as np
 
-        abstract = jax.eval_shape(lambda: create_train_state(cfg, jax.random.key(0)))
+        abstract = jax.eval_shape(build)
         template = jax.tree_util.tree_map(
             lambda a: np.zeros(a.shape, a.dtype), abstract
         )
     else:
-        template = create_train_state(cfg, jax.random.key(0))
+        template = build()
     mgr = CheckpointManager(run_dir, keep_last=1)
     try:
         state, meta = mgr.restore(template, step=step)
     finally:
         mgr.close()
+    if cfg.pipeline_parallel > 1:
+        # Hand callers the standard layout: eval/export/monitor code is
+        # uniform, PP is a training-time detail.
+        from dinox_tpu.parallel.pipeline import merge_model_params
+
+        state = state.replace(
+            student=merge_model_params(state.student),
+            teacher=merge_model_params(state.teacher),
+        )
     return state, cfg, meta
 
 

@@ -247,6 +247,19 @@ def train(
         try:
             flush()  # drain buffered metrics (may raise on a late anomaly)
         finally:
+            if not single_proc:
+                # Re-align processes before the final save: orbax serialize
+                # waits on the last dispatched computations, and a freshly
+                # compiled collective program dispatched with >30 s of
+                # inter-process skew fails its Gloo rendezvous (observed on
+                # the 1-core CI host). Coordination-service barrier — no
+                # compile, no collective.
+                from dinox_tpu.parallel.mesh import host_barrier
+
+                try:
+                    host_barrier("dinox_tpu:final_save")
+                except Exception:
+                    pass  # the save's own watchdog covers a truly dead peer
             # Final checkpoint — unless a periodic/emergency save covered it.
             if last_saved != step:
                 ckpt.save(

@@ -32,8 +32,35 @@ def enable_compilation_cache(path: str = "~/.cache/dinox_jax") -> None:
 
     try:
         cache_dir = os.path.expanduser(os.environ.get("DINOX_JAX_CACHE", path))
+        # Namespace by host-CPU fingerprint: the home directory (and so this
+        # cache) survives VM migrations across heterogeneous hosts, and
+        # XLA:CPU AOT entries compiled for another machine's ISA extensions
+        # load with "could lead to SIGILL" warnings and wildly asymmetric
+        # validate/recompile times — which desynchronized a 2-process run
+        # past the 30 s Gloo rendezvous deadline (Connect timeout at the
+        # first train-step dispatch). Per-fingerprint subdirs make foreign
+        # entries invisible instead of slow-and-dangerous.
+        cache_dir = os.path.join(cache_dir, _host_fingerprint())
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     except Exception:
         pass
+
+
+def _host_fingerprint() -> str:
+    """Short stable hash of the host CPU's ISA surface."""
+    import hashlib
+    import platform as _pf
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    raw = f"{_pf.machine()}|{flags}"
+    return "host-" + hashlib.sha1(raw.encode()).hexdigest()[:12]

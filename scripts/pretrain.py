@@ -61,6 +61,11 @@ def parse_args(argv=None):
     p.add_argument("--fused-attn", action="store_true",
                    help="fused LN->QKV->attention->proj half-block Pallas "
                         "kernel (ops/fused_attn_block.py)")
+    p.add_argument("--sequence-parallel", action="store_true",
+                   help="Megatron sequence parallelism: with "
+                        "--model-parallel>1, shard the token axis over the "
+                        "model axis in LN/residual regions (reduce-scatter/"
+                        "all-gather boundaries instead of all-reduce)")
     # training
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--accumulation-steps", type=int, default=1)
@@ -345,6 +350,7 @@ def main(argv=None) -> int:
         attn_impl=args.attn_impl,
         use_grad_checkpoint=args.grad_checkpoint,
         fused_attn=args.fused_attn,
+        sequence_parallel=args.sequence_parallel,
         gelu_approx=args.gelu_approx or args.gelu == "tanh",
         scale_gamma_init=args.scale_gamma_init,
     )

@@ -228,3 +228,33 @@ def test_pretrain_cli_pipeline_parallel_smoke(tmp_path):
     assert [ln["step"] for ln in lines] == [1, 2, 3]
     assert all(np.isfinite(ln["loss"]) for ln in lines)
     assert (run_dir / "ckpt").exists()
+
+
+def test_run_export_loads_pp_checkpoint(tmp_path):
+    """A PP-layout run checkpoint loads through run_export in the STANDARD
+    layout: load_backbone_from_run returns the merged student backbone, so
+    eval/export/monitor tooling is PP-agnostic."""
+    import json
+
+    from dinox_tpu.train.checkpoint import CheckpointManager
+    from dinox_tpu.train.pp_step import create_pp_train_state
+    from dinox_tpu.train.run_export import load_backbone_from_run, load_state_from_run
+    from dinox_tpu.train.trainer import config_dict
+
+    cfg = TrainConfig(model=MODEL, img_size=32, batch_size=8, max_steps=10,
+                      pipeline_parallel=2)
+    mesh = make_pp_mesh(jax.devices(), pipeline_parallel=2)
+    state = create_pp_train_state(cfg, jax.random.key(0), mesh)
+    run = tmp_path / "run_pp"
+    mgr = CheckpointManager(run, async_save=False)
+    mgr.save(2, state)
+    mgr.close()
+    (run / "config.json").write_text(json.dumps(config_dict(cfg), default=str))
+
+    loaded, lcfg, meta = load_state_from_run(run, host=True)
+    assert meta["step"] == 2 and lcfg.pipeline_parallel == 2
+    expect = merge_model_params(jax.device_get(state.student))
+    trees_close(loaded.student, expect, atol=0)
+
+    model = load_backbone_from_run(run)
+    trees_close(model.params, expect["backbone"], atol=0)

@@ -279,3 +279,28 @@ def test_lora_forward_on_tensor_parallel_mesh_matches_replicated():
         sharded, jax.device_put(x, sh), jax.device_put(sp, sh)
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_sequence_parallel_step_matches_replicated():
+    """sequence_parallel=True on the (4, 2) TP mesh: the token-axis
+    constraints in the LN/residual regions are pure sharding annotations —
+    loss matches the unsharded step exactly like the plain TP case."""
+    from dinox_tpu.parallel.mesh import state_shardings
+
+    cfg = TINY.replace(model=TINY_MODEL.replace(sequence_parallel=True))
+    px, sp = fake_batch(cfg)
+    state = create_train_state(cfg, jax.random.key(0))
+    _, m_ref = build_train_step(TINY, donate=False)(state, px, sp)
+
+    mesh = make_mesh(model_parallel=2)
+    sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, "data"))
+    step_fn = build_train_step(cfg, mesh=mesh, donate=False)
+    state1, m = step_fn(
+        jax.device_put(state, state_shardings(mesh, state)),
+        jax.device_put(px, sh), jax.device_put(sp, sh),
+    )
+    assert float(m["loss"]) == pytest.approx(float(m_ref["loss"]), rel=1e-4)
+    assert float(m["grad_norm"]) == pytest.approx(
+        float(m_ref["grad_norm"]), rel=1e-3)
+    qkv1 = state1.student["backbone"]["blocks_0"]["attn"]["qkv"]["kernel"]
+    assert qkv1.addressable_shards[0].data.shape[1] == qkv1.shape[1] // 2
