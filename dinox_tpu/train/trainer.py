@@ -189,6 +189,23 @@ def train(
 
                     pixels, spacing = put_global_batch(mesh, (pixels, spacing))
 
+            if not single_proc and step == start_step and hasattr(step_fn, "lower"):
+                # Multi-process first-dispatch alignment: Gloo's per-executable
+                # context rendezvous has a hard ~30 s deadline, and the first
+                # train-step dispatch carries a minutes-long compile whose
+                # duration can differ across processes (cache state, host
+                # load). AOT-compile first — populating the persistent
+                # compilation cache without executing — then re-align on the
+                # coordination service; the real dispatch's compile is then a
+                # disk-cache hit on every process and they rendezvous within
+                # seconds of each other.
+                from dinox_tpu.parallel.mesh import host_barrier
+
+                try:
+                    step_fn.lower(state, pixels, spacing).compile()
+                    host_barrier("dinox_tpu:step_compiled", timeout_s=3600)
+                except Exception as e:  # alignment is best-effort
+                    print(f"pre-compile alignment skipped: {e!r}", flush=True)
             if step == profile_at and not profiling:
                 import jax
 
