@@ -48,6 +48,15 @@ class ModelConfig:
     # elementwise math 1/tp-sharded. Pure sharding annotation — identical
     # math and checkpoints; no-op off-mesh.
     sequence_parallel: bool = False
+    # Mixture-of-Experts MLP (models/moe.py; no reference analog — the
+    # reference family is dense-only). moe_experts > 0 replaces the dense
+    # MLP with a Switch-style top-1 MoE in every `moe_every`-th block
+    # (Switch convention: the later block of each pair). Expert parallelism
+    # = an `expert` mesh axis (make_mesh(expert_parallel=...)); GSPMD
+    # inserts the dispatch/combine all-to-alls.
+    moe_experts: int = 0
+    moe_every: int = 2
+    moe_capacity_factor: float = 1.25
     # MLP nonlinearity. Natively-trained models default to the tanh-approximate
     # GELU (flax's own default; quality-validated against the exact arm on the
     # two-organ MVP anchor — docs/EXPERIMENTS.md `mvp_gelu_tanh`, +23% step

@@ -238,6 +238,8 @@ class TransformerBlock(nn.Module):
     fused_attn: bool = False
     gelu_approx: bool = False
     sequence_parallel: bool = False
+    moe_experts: int = 0  # >0: Switch-style MoE MLP in this block (models/moe.py)
+    moe_capacity_factor: float = 1.25
     mesh: Optional[Mesh] = None
 
     def _sp(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -278,6 +280,15 @@ class TransformerBlock(nn.Module):
                 self.dim, self.heads, attn_impl=self.attn_impl, dtype=self.dtype,
                 lora=self.lora, mesh=self.mesh, name="attn",
             )(ln(name="norm1")(x), train=train))
+        if self.moe_experts > 0:
+            from dinox_tpu.models.moe import MoeMlp
+
+            x = x + MoeMlp(
+                self.dim, self.moe_experts, self.mlp_ratio,
+                capacity_factor=self.moe_capacity_factor, dtype=self.dtype,
+                gelu_approx=self.gelu_approx, mesh=self.mesh, name="moe",
+            )(ln(name="norm2")(x), train=train)
+            return self._sp(x)
         # fused_mlp_block hard-wires the exact erf GELU; route tanh-GELU
         # configs to the unfused path (like the LoRA exclusion) rather than
         # silently computing a different nonlinearity than configured.
@@ -374,9 +385,12 @@ class PatchViT(nn.Module):
                 fused_mlp=cfg.fused_mlp, fused_attn=cfg.fused_attn,
                 gelu_approx=cfg.gelu_approx,
                 sequence_parallel=cfg.sequence_parallel,
+                moe_experts=(cfg.moe_experts if cfg.moe_experts > 0
+                             and i % cfg.moe_every == cfg.moe_every - 1 else 0),
+                moe_capacity_factor=cfg.moe_capacity_factor,
                 mesh=self.mesh,
             )
-            for _ in range(cfg.depth)
+            for i in range(cfg.depth)
         ]
         self.norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32)
 

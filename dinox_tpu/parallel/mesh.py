@@ -24,6 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+EXPERT_AXIS = "expert"  # MoE expert parallelism (models/moe.py)
 
 
 def init_distributed(
@@ -67,13 +68,23 @@ def host_barrier(name: str, timeout_s: int = 600) -> None:
 
 
 def make_mesh(
-    devices: Optional[Sequence[jax.Device]] = None, model_parallel: int = 1
+    devices: Optional[Sequence[jax.Device]] = None,
+    model_parallel: int = 1,
+    expert_parallel: int = 1,
 ) -> Mesh:
-    """(n_devices/model_parallel, model_parallel) mesh with (data, model) axes."""
+    """(data, model[, expert]) mesh. The ``expert`` axis is only added when
+    expert_parallel > 1 so dense-model meshes (and everything that inspects
+    their shape) are unchanged."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
-    if n % model_parallel:
-        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    if n % (model_parallel * expert_parallel):
+        raise ValueError(
+            f"{n} devices not divisible by model_parallel={model_parallel}"
+            f" x expert_parallel={expert_parallel}")
+    if expert_parallel > 1:
+        grid = np.asarray(devices).reshape(
+            n // (model_parallel * expert_parallel), model_parallel, expert_parallel)
+        return Mesh(grid, (DATA_AXIS, MODEL_AXIS, EXPERT_AXIS))
     grid = np.asarray(devices).reshape(n // model_parallel, model_parallel)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
@@ -113,14 +124,34 @@ def tp_param_spec(path: tuple, leaf) -> P:
     return P()
 
 
+def ep_param_spec(path: tuple, leaf) -> Optional[P]:
+    """Expert-parallel spec: MoeMlp's expert-stacked leaves (w1/w2/b1/b2
+    under a `moe` module, leading axis = n_experts) shard on `expert`; the
+    router stays replicated. None = not a MoE leaf."""
+    names = [k.key for k in path if isinstance(k, jax.tree_util.DictKey)]
+    if "moe" in names and names[-1] in ("w1", "w2", "b1", "b2") \
+            and getattr(leaf, "ndim", 0) >= 2:
+        return P(EXPERT_AXIS)
+    return None
+
+
 def state_shardings(mesh: Mesh, state):
     """NamedShardings for a TrainState pytree: TP specs when the `model` axis
-    is real, full replication otherwise."""
-    if mesh.shape[MODEL_AXIS] == 1:
+    is real, expert specs when the `expert` axis is real, full replication
+    otherwise."""
+    tp = mesh.shape.get(MODEL_AXIS, 1) > 1
+    ep = mesh.shape.get(EXPERT_AXIS, 1) > 1
+    if not tp and not ep:
         return jax.tree_util.tree_map(lambda _: replicated(mesh), state)
-    return jax.tree_util.tree_map_with_path(
-        lambda p, x: NamedSharding(mesh, tp_param_spec(p, x)), state
-    )
+
+    def spec(p, x):
+        if ep:
+            s = ep_param_spec(p, x)
+            if s is not None:
+                return NamedSharding(mesh, s)
+        return NamedSharding(mesh, tp_param_spec(p, x) if tp else P())
+
+    return jax.tree_util.tree_map_with_path(spec, state)
 
 
 def shard_batch(mesh: Mesh, tree):

@@ -49,6 +49,9 @@ class TrainConfig:
     koleo_weight: float = 0.0
     # MAE (used when loss_type == "mae")
     mae_mask_ratio: float = 0.75
+    # MoE load-balance auxiliary weight (Switch eq. 4; active only when
+    # model.moe_experts > 0)
+    moe_aux_weight: float = 0.01
     # Augmentation
     crop_scale_min: float = 0.3
     crop_scale_max: float = 1.0

@@ -69,10 +69,22 @@ def _micro_loss(
         jkey = jax.random.fold_in(key, 0x5BA)
         sp2 = sp2 * jnp.exp(cfg.spacing_jitter * jax.random.normal(jkey, sp2.shape))
 
-    s_out, s_feats = model.apply(
-        {"params": student_params}, batch, sp2, train=True,
-        method=DinoStudentTeacher.forward_features,
-    )
+    if cfg.model.moe_experts > 0:
+        # MoE blocks sow their Switch load-balance aux; collect it from the
+        # student only (the teacher's routing is not trained).
+        (s_out, s_feats), svars = model.apply(
+            {"params": student_params}, batch, sp2, train=True,
+            method=DinoStudentTeacher.forward_features,
+            mutable=["intermediates"],
+        )
+        aux_leaves = jax.tree_util.tree_leaves(svars["intermediates"])
+        moe_aux = sum(aux_leaves) / max(1, len(aux_leaves))
+    else:
+        s_out, s_feats = model.apply(
+            {"params": student_params}, batch, sp2, train=True,
+            method=DinoStudentTeacher.forward_features,
+        )
+        moe_aux = zero
 
     if cfg.loss_type == "simclr":
         b = s_out.shape[0] // 2
@@ -104,6 +116,9 @@ def _micro_loss(
             loss_mae=zero,
             teacher_entropy=d.teacher_entropy, student_entropy=d.student_entropy,
         )
+    if cfg.model.moe_experts > 0:
+        loss = loss + cfg.moe_aux_weight * moe_aux
+        metrics["loss_moe_aux"] = moe_aux
 
     # Collapse telemetry: per-dim std of the CLS embedding over the batch
     # (the reference's "Embed-L0 std" health stat, phase5_big_run.py:1892-1976).

@@ -61,6 +61,17 @@ def parse_args(argv=None):
     p.add_argument("--fused-attn", action="store_true",
                    help="fused LN->QKV->attention->proj half-block Pallas "
                         "kernel (ops/fused_attn_block.py)")
+    p.add_argument("--moe-experts", type=int, default=0,
+                   help="Switch-style top-1 MoE MLP with N experts in every "
+                        "--moe-every'th block (models/moe.py); 0 = dense")
+    p.add_argument("--moe-every", type=int, default=2)
+    p.add_argument("--moe-capacity", type=float, default=1.25,
+                   help="expert capacity factor (tokens/expert multiplier)")
+    p.add_argument("--moe-aux-weight", type=float, default=0.01,
+                   help="Switch load-balance auxiliary loss weight")
+    p.add_argument("--expert-parallel", type=int, default=1,
+                   help="size of the `expert` mesh axis (requires "
+                        "--moe-experts divisible by it)")
     p.add_argument("--sequence-parallel", action="store_true",
                    help="Megatron sequence parallelism: with "
                         "--model-parallel>1, shard the token axis over the "
@@ -351,6 +362,9 @@ def main(argv=None) -> int:
         use_grad_checkpoint=args.grad_checkpoint,
         fused_attn=args.fused_attn,
         sequence_parallel=args.sequence_parallel,
+        moe_experts=args.moe_experts,
+        moe_every=args.moe_every,
+        moe_capacity_factor=args.moe_capacity,
         gelu_approx=args.gelu_approx or args.gelu == "tanh",
         scale_gamma_init=args.scale_gamma_init,
     )
@@ -385,6 +399,7 @@ def main(argv=None) -> int:
         crop_scale_max=args.crop_scale_max,
         scale_lr_mult=args.scale_lr_mult,
         spacing_jitter=args.spacing_jitter,
+        moe_aux_weight=args.moe_aux_weight,
         mu_dtype=args.mu_dtype,
         nu_dtype=args.nu_dtype,
         factored_nu=args.factored_nu,
@@ -475,7 +490,8 @@ def main(argv=None) -> int:
         mesh = make_pp_mesh(jax.devices(), args.pipeline_parallel)
         state_shardings_fn = pp_state_shardings
     else:
-        mesh = make_mesh(model_parallel=args.model_parallel)
+        mesh = make_mesh(model_parallel=args.model_parallel,
+                         expert_parallel=args.expert_parallel)
         state_shardings_fn = state_shardings
     if loader is not None and args.device_prefetch > 0:
         from dinox_tpu.data.prefetch import DevicePrefetcher
