@@ -1,4 +1,5 @@
 from dinox_tpu.models.config import HUB_DEFAULT_CONFIG, MODEL_CONFIGS, ModelConfig
+from dinox_tpu.models.moe import MoeMlp
 from dinox_tpu.models.vit import (
     Attention,
     DinoHead,
@@ -16,6 +17,7 @@ __all__ = [
     "MODEL_CONFIGS",
     "ModelConfig",
     "Attention",
+    "MoeMlp",
     "DinoHead",
     "DinoStudentTeacher",
     "Mlp",

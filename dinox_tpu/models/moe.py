@@ -16,9 +16,10 @@ No reference analog — the reference's model family is dense ViT only
   probability; sown as an intermediate and added to the training loss with
   weight ``TrainConfig.moe_aux_weight``.
 
-Capacity: each expert processes at most ``C = ceil(tokens/E * capacity)``
-tokens; overflow tokens are dropped (their MLP output is zero — the residual
-stream carries them through unchanged, the standard Switch behavior).
+Capacity: routing is grouped per image (GShard groups) and each expert
+processes at most ``C = ceil(N/E * capacity)`` tokens per group; overflow
+tokens are dropped (their MLP output is zero — the residual stream carries
+them through unchanged, the standard Switch behavior).
 """
 
 from __future__ import annotations
@@ -70,46 +71,51 @@ class MoeMlp(nn.Module):
         B, N, D = x.shape
         E = self.n_experts
         hidden = int(self.dim * self.mlp_ratio)
-        tokens = B * N
-        cap = max(1, int(tokens / E * self.capacity_factor))
+        # GShard grouping: route WITHIN each image's N tokens (group = image)
+        # so the dispatch/combine einsums cost B*N*E*C*D with the per-group
+        # capacity C = ceil(N/E * factor) — without grouping C grows with the
+        # global token count and the dispatch einsum dwarfs the expert FLOPs
+        # (measured 128 vs 885 slices/s on ViT-S bs96). Groups ride the data
+        # axis; experts the expert axis.
+        cap = max(1, int(N / E * self.capacity_factor))
 
-        xt = x.reshape(tokens, D)
         # Router in f32 (tiny, numerically sensitive).
         logits = nn.Dense(
             E, dtype=jnp.float32, param_dtype=jnp.float32,
             kernel_init=nn.initializers.truncated_normal(0.02), name="router",
-        )(xt.astype(jnp.float32))
-        probs = jax.nn.softmax(logits, axis=-1)            # (T, E)
-        expert = jnp.argmax(probs, axis=-1)                # (T,)
-        gate = jnp.take_along_axis(probs, expert[:, None], axis=1)[:, 0]
+        )(x.astype(jnp.float32))                           # (B, N, E)
+        probs = jax.nn.softmax(logits, axis=-1)
+        expert = jnp.argmax(probs, axis=-1)                # (B, N)
+        gate = jnp.take_along_axis(probs, expert[..., None], axis=-1)[..., 0]
 
-        onehot = jax.nn.one_hot(expert, E, dtype=jnp.float32)  # (T, E)
-        # Switch load-balance aux: E * sum_e fraction_e * mean_prob_e.
-        aux = E * jnp.sum(jnp.mean(onehot, axis=0) * jnp.mean(probs, axis=0))
+        onehot = jax.nn.one_hot(expert, E, dtype=jnp.float32)  # (B, N, E)
+        # Switch load-balance aux over ALL tokens:
+        # E * sum_e fraction_e * mean_prob_e.
+        aux = E * jnp.sum(jnp.mean(onehot, axis=(0, 1)) * jnp.mean(probs, axis=(0, 1)))
         self.sow("intermediates", "moe_aux", aux)
 
-        # Position of each token within its expert's capacity buffer.
-        pos = jnp.einsum("te,te->t", jnp.cumsum(onehot, axis=0) - 1.0, onehot)
+        # Position of each token within its expert's per-group buffer.
+        pos = jnp.einsum("bte,bte->bt", jnp.cumsum(onehot, axis=1) - 1.0, onehot)
         keep = pos < cap                                    # overflow dropped
-        pos_oh = jax.nn.one_hot(pos, cap, dtype=jnp.float32) * keep[:, None]
-        # dispatch (T, E, C): 1 where token t goes to slot (e, c)
-        dispatch = onehot[:, :, None] * pos_oh[:, None, :]
-        xe = jnp.einsum("tec,td->ecd", dispatch.astype(self.dtype),
-                        xt.astype(self.dtype))             # (E, C, D)
-        xe = _constrain_expert(xe, self.mesh)
+        pos_oh = jax.nn.one_hot(pos, cap, dtype=jnp.float32) * keep[..., None]
+        # dispatch (B, N, E, C): 1 where group-b token t fills slot (e, c)
+        dispatch = onehot[..., None] * pos_oh[:, :, None, :]
+        xe = jnp.einsum("btec,btd->becd", dispatch.astype(self.dtype),
+                        x.astype(self.dtype))              # (B, E, C, D)
+        xe = _constrain_expert(xe, self.mesh, axis=1)
 
         init = nn.initializers.xavier_uniform(in_axis=1, out_axis=2, batch_axis=(0,))
         w1 = self.param("w1", init, (E, D, hidden), jnp.float32)
         b1 = self.param("b1", nn.initializers.zeros, (E, 1, hidden), jnp.float32)
         w2 = self.param("w2", init, (E, hidden, D), jnp.float32)
         b2 = self.param("b2", nn.initializers.zeros, (E, 1, D), jnp.float32)
-        h = jnp.einsum("ecd,edh->ech", xe, w1.astype(self.dtype)) + b1.astype(self.dtype)
+        h = jnp.einsum("becd,edh->bech", xe, w1.astype(self.dtype)) + b1.astype(self.dtype)
         h = nn.gelu(h, approximate=self.gelu_approx)
-        ye = jnp.einsum("ech,ehd->ecd", h, w2.astype(self.dtype)) + b2.astype(self.dtype)
-        ye = _constrain_expert(ye, self.mesh)
+        ye = jnp.einsum("bech,ehd->becd", h, w2.astype(self.dtype)) + b2.astype(self.dtype)
+        ye = _constrain_expert(ye, self.mesh, axis=1)
 
         # combine: weight each token's expert output by its gate; dropped
         # tokens receive zeros.
-        combine = (dispatch * gate[:, None, None]).astype(self.dtype)
-        yt = jnp.einsum("tec,ecd->td", combine, ye)
-        return yt.reshape(B, N, D).astype(x.dtype)
+        combine = (dispatch * gate[..., None, None]).astype(self.dtype)
+        y = jnp.einsum("btec,becd->btd", combine, ye)
+        return y.astype(x.dtype)
