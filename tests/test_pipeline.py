@@ -258,3 +258,23 @@ def test_run_export_loads_pp_checkpoint(tmp_path):
 
     model = load_backbone_from_run(run)
     trees_close(model.params, expect["backbone"], atol=0)
+
+
+def test_pp_step_with_remat_runs():
+    """use_grad_checkpoint wraps the stage block_fn in jax.checkpoint inside
+    the rotation — the PP + remat combination (the memory story for giant
+    models) compiles and takes a finite step."""
+    from dinox_tpu.train.pp_step import build_pp_train_step, create_pp_train_state
+
+    cfg = TrainConfig(
+        model=MODEL.replace(use_grad_checkpoint=True), img_size=32,
+        batch_size=8, lr=1e-3, warmup_steps=2, max_steps=10,
+        pipeline_parallel=2, pp_microbatches=4,
+    )
+    mesh = make_pp_mesh(jax.devices(), pipeline_parallel=2)
+    state = create_pp_train_state(cfg, jax.random.key(0), mesh)
+    rng = np.random.default_rng(0)
+    px = jnp.asarray(rng.integers(30000, 36000, (1, 8, 48, 48, 3)), jnp.uint16)
+    sp = jnp.asarray(rng.uniform(0.5, 2.0, (1, 8, 3)), jnp.float32)
+    state, m = build_pp_train_step(cfg, mesh, donate=False)(state, px, sp)
+    assert np.isfinite(float(m["loss"])) and int(state.step) == 1
