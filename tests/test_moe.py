@@ -138,3 +138,32 @@ def test_moe_config_roundtrip_and_dense_default():
     assert ModelConfig.from_dict(MOE_MODEL.to_dict()).moe_experts == 4
     dense = ModelConfig.from_dict({"dim": 32, "depth": 2, "heads": 2})
     assert dense.moe_experts == 0  # old checkpoints stay dense
+
+
+def test_tensor_and_expert_parallel_compose():
+    """(data=2, model=2, expert=2) mesh: attention qkv/proj shard over
+    `model` (Megatron), MoE expert stacks over `expert`, and the step's loss
+    matches the unsharded run — the two layouts coexist in one program."""
+    cfg = TrainConfig(
+        model=MOE_MODEL.replace(moe_experts=2), img_size=32, batch_size=8,
+        lr=1e-3, warmup_steps=2, max_steps=20, train_seed=0,
+    )
+    rng = np.random.default_rng(0)
+    px = jnp.asarray(rng.integers(30000, 36000, (1, 8, 48, 48, 3)), jnp.uint16)
+    sp = jnp.asarray(rng.uniform(0.5, 2.0, (1, 8, 3)), jnp.float32)
+
+    state = create_train_state(cfg, jax.random.key(0))
+    _, m_ref = build_train_step(cfg, donate=False)(state, px, sp)
+
+    mesh = make_mesh(model_parallel=2, expert_parallel=2)
+    assert mesh.shape == {"data": 2, "model": 2, "expert": 2}
+    sharded = jax.device_put(state, state_shardings(mesh, state))
+    qkv = sharded.student["backbone"]["blocks_0"]["attn"]["qkv"]["kernel"]
+    assert qkv.addressable_shards[0].data.shape[1] == qkv.shape[1] // 2
+    w1 = sharded.student["backbone"]["blocks_1"]["moe"]["w1"]
+    assert w1.addressable_shards[0].data.shape[0] == w1.shape[0] // 2
+
+    sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, "data"))
+    step_fn = build_train_step(cfg, mesh=mesh, donate=False)
+    _, m = step_fn(sharded, jax.device_put(px, sh), jax.device_put(sp, sh))
+    assert float(m["loss"]) == pytest.approx(float(m_ref["loss"]), rel=1e-4)
