@@ -97,7 +97,8 @@ class MoeMlp(nn.Module):
         # Position of each token within its expert's per-group buffer.
         pos = jnp.einsum("bte,bte->bt", jnp.cumsum(onehot, axis=1) - 1.0, onehot)
         keep = pos < cap                                    # overflow dropped
-        pos_oh = jax.nn.one_hot(pos, cap, dtype=jnp.float32) * keep[..., None]
+        pos_oh = jax.nn.one_hot(pos.astype(jnp.int32), cap,
+                                dtype=jnp.float32) * keep[..., None]
         # dispatch (B, N, E, C): 1 where group-b token t fills slot (e, c)
         dispatch = onehot[..., None] * pos_oh[:, :, None, :]
         xe = jnp.einsum("btec,btd->becd", dispatch.astype(self.dtype),
