@@ -46,6 +46,7 @@ __all__ = [
     "PROFILES_V2",
     "PROFILE_NAMES_V2",
     "SAMPLING_WEIGHTS_V2",
+    "scaled_profiles_v2",
     "synth_series_np",
 ]
 
@@ -85,6 +86,56 @@ PROFILES_V2 = (
 )
 PROFILE_NAMES_V2 = tuple(p.name for p in PROFILES_V2)
 SAMPLING_WEIGHTS_V2 = (0.36, 0.22, 0.18, 0.14, 0.10)
+
+
+def scaled_profiles_v2(strength: float) -> tuple:
+    """Per-dataset signature-strength knob (round-5 causal probe experiment).
+
+    Returns the five v2 profiles with every *dataset-identifying* component
+    scaled by ``strength`` around the cross-profile common point:
+
+    * parametric stats (mean, std, fine_mix, noise_std) are linearly
+      inter/extrapolated between each profile and the unweighted
+      cross-profile average — at 0 all five datasets share one parametric
+      profile, at 1 they are exactly PROFILES_V2, above 1 they spread apart;
+    * structural marks (ring_amp, band_amp, speck_amp) are multiplied by
+      ``strength`` directly (averaging would bleed e.g. the skull ring into
+      every dataset);
+    * spacing ranges, band_freq, and speck_thresh are left alone (spacing
+      deliberately overlaps across datasets; frequencies/thresholds define
+      *what* the mark is, amplitude defines how visible it is).
+
+    The probe-degradation mechanism (docs/ROUND4_RESULTS.md: series signal
+    crowds out weak parametric dataset signatures over long training) predicts
+    dataset-probe accuracy ~1.0 at large strength, chance at 0, and the
+    observed mid-range degradation at 1.
+    """
+    s = float(strength)
+    if s == 1.0:
+        return PROFILES_V2
+    c_mean = float(np.mean([p.mean for p in PROFILES_V2]))
+    c_std = float(np.mean([p.std for p in PROFILES_V2]))
+    c_mix = float(np.mean([p.fine_mix for p in PROFILES_V2]))
+    c_noise = float(np.mean([p.noise_std for p in PROFILES_V2]))
+    out = []
+    for p in PROFILES_V2:
+        out.append(SynthProfile(
+            name=p.name,
+            # mean kept inside the HU clip range so an extrapolated profile
+            # cannot degenerate into all-air / all-bone
+            mean=float(np.clip(c_mean + s * (p.mean - c_mean), -950.0, 2000.0)),
+            std=float(max(10.0, c_std + s * (p.std - c_std))),
+            fine_mix=float(np.clip(c_mix + s * (p.fine_mix - c_mix), 0.0, 1.0)),
+            ring_amp=p.ring_amp * s,
+            band_amp=p.band_amp * s,
+            band_freq=p.band_freq,
+            speck_amp=p.speck_amp * s,
+            speck_thresh=p.speck_thresh,
+            noise_std=float(max(0.0, c_noise + s * (p.noise_std - c_noise))),
+            sp_min=p.sp_min,
+            sp_max=p.sp_max,
+        ))
+    return tuple(out)
 
 
 def _resize3d(field: np.ndarray, shape: tuple[int, int, int]) -> np.ndarray:
@@ -184,7 +235,7 @@ def draw_spacing(profile: SynthProfile, rng: np.random.Generator) -> tuple:
 # -- JAX batched variant (device staging) ------------------------------------
 
 
-def make_jax_batch_fn(canvas: int, n: int):
+def make_jax_batch_fn(canvas: int, n: int, signature_strength: float = 1.0):
     """Returns jit-able fn(key) -> (pixels_u16 (n, canvas, canvas, 3),
     spacing (n, 3), ds (n,)) sampling the five v2 profiles.
 
@@ -192,21 +243,24 @@ def make_jax_batch_fn(canvas: int, n: int):
     in-plane field with per-channel jitter (z-coherent like the loader's
     neighbor stacks). Same parametric formula as synth_series_np, with all
     per-dataset parameters gathered from tables — no branching, one trace.
+    ``signature_strength`` scales the per-dataset signatures
+    (:func:`scaled_profiles_v2`); 1.0 is bit-identical to the v2 default.
     """
     import jax
     import jax.numpy as jnp
 
-    mean_t = jnp.asarray([p.mean for p in PROFILES_V2])
-    std_t = jnp.asarray([p.std for p in PROFILES_V2])
-    mix_t = jnp.asarray([p.fine_mix for p in PROFILES_V2])
-    ring_t = jnp.asarray([p.ring_amp for p in PROFILES_V2])
-    band_t = jnp.asarray([p.band_amp for p in PROFILES_V2])
-    bfreq_t = jnp.asarray([p.band_freq for p in PROFILES_V2])
-    speck_t = jnp.asarray([p.speck_amp for p in PROFILES_V2])
-    sthr_t = jnp.asarray([p.speck_thresh for p in PROFILES_V2])
-    noise_t = jnp.asarray([p.noise_std for p in PROFILES_V2])
-    spmin_t = jnp.asarray([p.sp_min for p in PROFILES_V2])
-    spmax_t = jnp.asarray([p.sp_max for p in PROFILES_V2])
+    profiles = scaled_profiles_v2(signature_strength)
+    mean_t = jnp.asarray([p.mean for p in profiles])
+    std_t = jnp.asarray([p.std for p in profiles])
+    mix_t = jnp.asarray([p.fine_mix for p in profiles])
+    ring_t = jnp.asarray([p.ring_amp for p in profiles])
+    band_t = jnp.asarray([p.band_amp for p in profiles])
+    bfreq_t = jnp.asarray([p.band_freq for p in profiles])
+    speck_t = jnp.asarray([p.speck_amp for p in profiles])
+    sthr_t = jnp.asarray([p.speck_thresh for p in profiles])
+    noise_t = jnp.asarray([p.noise_std for p in profiles])
+    spmin_t = jnp.asarray([p.sp_min for p in profiles])
+    spmax_t = jnp.asarray([p.sp_max for p in profiles])
     w = np.asarray(SAMPLING_WEIGHTS_V2)
     weights = jnp.asarray(w / w.sum())
 

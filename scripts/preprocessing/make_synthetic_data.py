@@ -63,6 +63,12 @@ def main(argv=None) -> int:
                         "(dinox_tpu/data/synthetic.py) — the same "
                         "distribution the on-device staged generator "
                         "trains on, for same-domain eval sets")
+    p.add_argument("--signature-strength", type=float, default=1.0,
+                   help="scale the per-dataset v2 signatures around their "
+                        "cross-profile common point (scaled_profiles_v2): "
+                        "0 = indistinguishable datasets, 1 = v2 default, "
+                        ">1 = grosser (more real-CT-like) signatures. Only "
+                        "affects v2-profile dataset names.")
     p.add_argument("--series-per-dataset", type=int, default=4)
     p.add_argument("--slices-per-series", type=int, default=12)
     p.add_argument("--size", type=int, default=128)
@@ -75,13 +81,15 @@ def main(argv=None) -> int:
     from dinox_tpu.data.hu import encode_hu16
     from dinox_tpu.data.index import IndexRow, make_split_manifest, write_index_rows
     from dinox_tpu.data.synthetic import (
-        PROFILES_V2,
         draw_spacing,
+        scaled_profiles_v2,
         synth_series_np,
         synth_two_organ_series_np,
     )
 
-    profiles_by_name = {prof.name: prof for prof in PROFILES_V2}
+    profiles_by_name = {
+        prof.name: prof for prof in scaled_profiles_v2(args.signature_strength)
+    }
     if args.datasets is None:
         args.datasets = (list(profiles_by_name) if args.five_datasets
                          else ["dsa", "dsb"])

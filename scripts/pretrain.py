@@ -145,6 +145,12 @@ def parse_args(argv=None):
                    help="number of synthetic dataset profiles for "
                         "--synthetic-device-batches (2=two-organ MVP, "
                         "up to 5 CT-catalog-like profiles)")
+    p.add_argument("--signature-strength", type=float, default=1.0,
+                   help="v2-profile dataset-signature strength for "
+                        "--synthetic-datasets 5 (scaled_profiles_v2: 0 = "
+                        "indistinguishable, 1 = v2 default, >1 = grosser); "
+                        "match the eval set's make_synthetic_data "
+                        "--signature-strength")
     p.add_argument("--synthetic", action="store_true",
                    help="train on synthetic on-the-fly batches (smoke/bench)")
     # ops
@@ -218,7 +224,8 @@ class DeviceSyntheticBatches:
     (dinox_tpu/data/synthetic.py) with temperature-style weights.
     """
 
-    def __init__(self, n_batches, batch_size, accum, canvas, seed=0, n_datasets=2):
+    def __init__(self, n_batches, batch_size, accum, canvas, seed=0, n_datasets=2,
+                 signature_strength=1.0):
         import jax
         import jax.numpy as jnp
 
@@ -255,7 +262,8 @@ class DeviceSyntheticBatches:
         if n_datasets != 5 and n_datasets != 2:
             raise ValueError("--synthetic-datasets must be 2 (two-organ MVP) "
                              "or 5 (v2 CT-catalog profiles)")
-        v2 = jax.jit(make_jax_batch_fn(canvas, n))
+        v2 = jax.jit(make_jax_batch_fn(
+            canvas, n, signature_strength=signature_strength))
 
         def make_multi(key):
             pixels, spacing, _ds = v2(key)
@@ -426,6 +434,7 @@ def main(argv=None) -> int:
             args.synthetic_device_batches, args.batch_size,
             args.accumulation_steps, args.canvas, args.seed,
             n_datasets=args.synthetic_datasets,
+            signature_strength=args.signature_strength,
         )
         loader_position = None
     elif args.synthetic:

@@ -136,6 +136,52 @@ def test_spacing_ranges_overlap_across_datasets():
     assert abs(sum(SAMPLING_WEIGHTS_V2) - 1.0) < 1e-6
 
 
+def test_signature_strength_identity_zero_and_monotone():
+    """scaled_profiles_v2: strength 1 is the identity (bit-exact device
+    batches), strength 0 collapses the five datasets to one common profile
+    (no structural marks, shared parametric stats), and larger strength
+    separates the windowed features further — the knob the round-5 causal
+    probe experiment turns."""
+    import jax
+
+    from dinox_tpu.data.synthetic import scaled_profiles_v2
+
+    assert scaled_profiles_v2(1.0) is PROFILES_V2
+    make_ref = jax.jit(make_jax_batch_fn(64, 8))
+    make_s1 = jax.jit(make_jax_batch_fn(64, 8, signature_strength=1.0))
+    a, _, _ = make_ref(jax.random.key(3))
+    b, _, _ = make_s1(jax.random.key(3))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    flat = scaled_profiles_v2(0.0)
+    assert all(p.ring_amp == 0 and p.band_amp == 0 and p.speck_amp == 0
+               for p in flat)
+    assert len({(p.mean, p.std, p.fine_mix, p.noise_std) for p in flat}) == 1
+    # spacing ranges untouched (spacing must stay a non-shortcut at every s)
+    for p0, p1 in zip(flat, PROFILES_V2):
+        assert p0.sp_min == p1.sp_min and p0.sp_max == p1.sp_max
+
+    def spread(s):
+        profs = scaled_profiles_v2(s)
+        rng = np.random.default_rng(0)
+        cents = []
+        for prof in profs:
+            vol = synth_series_np(prof, rng, n_slices=2, size=SIZE)
+            cents.append(np.mean(
+                [_features(window(z * 0.1, 40.0, 400.0)) for z in vol], axis=0))
+        cents = np.stack(cents)
+        cents = (cents - cents.mean(0)) / (cents.std(0) + 1e-6)
+        return float(np.mean(np.linalg.norm(cents - cents.mean(0), axis=1)))
+
+    # raw (unstandardized) mean-HU spread is the cleanest monotone readout
+    def mean_spread(s):
+        means = np.asarray([p.mean for p in scaled_profiles_v2(s)])
+        return float(means.std())
+
+    assert mean_spread(0.33) < mean_spread(1.0) < mean_spread(2.0)
+    assert spread(2.0) > 0  # scaled profiles still generate valid series
+
+
 def test_jax_batch_fn_chunking_shapes_and_determinism():
     """The device generator chunks >16-slice batches through lax.map (full
     single-trace generation compile-OOMs at (128,512,512,3) on a 16 GB
