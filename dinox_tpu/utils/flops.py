@@ -24,6 +24,29 @@ from dinox_tpu.models.config import ModelConfig
 V5E_PEAK_FLOPS_BF16 = 197e12
 
 
+def moe_flops_per_view_per_block(mcfg: ModelConfig) -> float:
+    """Matmul FLOPs of ONE Switch-MoE MLP block on one view's tokens.
+
+    Mirrors models/moe.py's dense-dispatch formulation exactly (grouped per
+    image, so the per-view group is the N=seq_len tokens): router projection,
+    the (N,E,C)x(N,D) dispatch einsum, the expert FFN over the (E,C,D)
+    buffer, and the combine einsum. The dispatch/combine terms are REAL MXU
+    work unique to the dense-dispatch design: grouped, they cost N/H of the
+    expert FFN (~17% at ViT-S); UNgrouped, C grows with the global token
+    count and they dwarf the FFN — the quantitative fact behind the round-4
+    GShard grouping fix (128 -> 692 slices/s) that this model would have
+    predicted."""
+    d, n = mcfg.dim, mcfg.seq_len
+    e = mcfg.moe_experts
+    hidden = int(d * mcfg.mlp_ratio)
+    cap = max(1, int(n / e * mcfg.moe_capacity_factor))
+    router = 2.0 * n * d * e
+    dispatch = 2.0 * n * e * cap * d          # btec,btd->becd (per group)
+    expert_ffn = 2.0 * e * cap * d * hidden * 2  # fc1 + fc2 over (E, C, D)
+    combine = 2.0 * n * e * cap * d           # btec,becd->btd
+    return router + dispatch + expert_ffn + combine
+
+
 def forward_flops_per_view(mcfg: ModelConfig) -> float:
     """Matmul FLOPs of one backbone+head forward on one (img_size)^2 view."""
     d, n, depth = mcfg.dim, mcfg.seq_len, mcfg.depth
@@ -34,6 +57,16 @@ def forward_flops_per_view(mcfg: ModelConfig) -> float:
     proj = 2.0 * n * d * d
     mlp = 2.0 * n * d * hidden * 2  # fc1 + fc2
     head = 2.0 * (d * d + d * mcfg.out_dim)  # CLS token only
+    if mcfg.moe_experts > 0:
+        # every moe_every-th block routes through the MoE MLP instead of the
+        # dense one (models/vit.py block construction)
+        n_moe = sum(1 for i in range(depth)
+                    if i % mcfg.moe_every == mcfg.moe_every - 1)
+        moe = moe_flops_per_view_per_block(mcfg)
+        return (patch_embed
+                + (depth - n_moe) * (qkv + attn_bmm + proj + mlp)
+                + n_moe * (qkv + attn_bmm + proj + moe)
+                + head)
     return patch_embed + depth * (qkv + attn_bmm + proj + mlp) + head
 
 

@@ -58,20 +58,27 @@ def _kv_table(rows: list[tuple[str, Any]]) -> list[str]:
 
 
 def _architecture(mc: dict) -> list[str]:
-    return ["## Architecture", ""] + _kv_table(
-        [
-            ("Backbone", "Vision Transformer (ViT)"),
-            ("Config", mc.get("name", "custom")),
-            ("Embedding dim", mc.get("dim", "—")),
-            ("Depth (layers)", mc.get("depth", "—")),
-            ("Attention heads", mc.get("heads", "—")),
-            ("Patch size", mc.get("patch", "—")),
-            ("Image size", mc.get("img_size", 224)),
-            ("MLP ratio", mc.get("mlp_ratio", 4.0)),
-            ("Scale-aware", "✅" if mc.get("scale_aware") else "❌"),
-            ("Parameters", f"{mc.get('params_millions', '—')}M"),
+    rows = [
+        ("Backbone", "Vision Transformer (ViT)"),
+        ("Config", mc.get("name", "custom")),
+        ("Embedding dim", mc.get("dim", "—")),
+        ("Depth (layers)", mc.get("depth", "—")),
+        ("Attention heads", mc.get("heads", "—")),
+        ("Patch size", mc.get("patch", "—")),
+        ("Image size", mc.get("img_size", 224)),
+        ("MLP ratio", mc.get("mlp_ratio", 4.0)),
+        ("Scale-aware", "✅" if mc.get("scale_aware") else "❌"),
+        ("Parameters", f"{mc.get('params_millions', '—')}M"),
+    ]
+    if mc.get("moe_experts"):
+        rows += [
+            ("MoE (moe_experts / moe_every)",
+             f"Switch top-1, {mc['moe_experts']} experts in every "
+             f"{mc.get('moe_every', 2)}. block"),
+            ("Weights format", mc.get("weights_format", "jax")
+             + " (JAX-native; torch interop is dense-only)"),
         ]
-    ) + [""]
+    return ["## Architecture", ""] + _kv_table(rows) + [""]
 
 
 def _training(tc: dict) -> list[str]:

@@ -111,7 +111,37 @@ def _cfg_from_dict(config: dict[str, Any]) -> ModelConfig:
         # Absent from reference-format configs -> exact erf (torch parity);
         # native exports carry the field explicitly (export_hub_checkpoint).
         gelu_approx=bool(merged.get("gelu_approx", False)),
+        # Non-dense families (hub format v2, weights_format="jax"): the MoE
+        # placement knobs travel with the checkpoint so a hub dir fully
+        # specifies the architecture (reference configs never carry these).
+        moe_experts=int(merged.get("moe_experts", 0)),
+        moe_every=int(merged.get("moe_every", 2)),
+        moe_capacity_factor=float(merged.get("moe_capacity_factor", 1.25)),
     )
+
+
+def _flatten_tree(tree: dict[str, Any], prefix: str = "") -> dict[str, np.ndarray]:
+    """Nested flax params -> flat {'blocks_3/moe/w1': array} dict (the
+    JAX-native safetensors key layout; '/' never occurs in flax scope names)."""
+    out: dict[str, np.ndarray] = {}
+    for k, v in tree.items():
+        path = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_flatten_tree(v, path))
+        else:
+            out[path] = np.ascontiguousarray(np.asarray(v, dtype=np.float32))
+    return out
+
+
+def _unflatten_tree(flat: dict[str, Any]) -> dict[str, Any]:
+    tree: dict[str, Any] = {}
+    for key, v in flat.items():
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
 
 
 def _load_torch_payload(path: Path, *, trusted: bool = False) -> dict[str, Any]:
@@ -211,12 +241,19 @@ def load_from_training_checkpoint(
 
 def load_from_hub_dir(model_dir: str | Path) -> LoadedModel:
     """Hub format: config.json + backbone.safetensors (preferred) or
-    backbone.pth; strict load (zoo/hub.py:157-213)."""
+    backbone.pth; strict load (zoo/hub.py:157-213).
+
+    Two weight layouts, declared by config.json's ``weights_format``:
+    ``"torch"`` (default; timm-style keys, bidirectionally reference-
+    compatible) and ``"jax"`` (flat flax paths — the native format for
+    families the torch architecture cannot express, e.g. MoE)."""
     model_dir = Path(model_dir)
     config_path = model_dir / "config.json"
     if not config_path.exists():
         raise FileNotFoundError(f"config.json not found in {model_dir}")
-    cfg = _cfg_from_dict(json.loads(config_path.read_text()))
+    config = json.loads(config_path.read_text())
+    cfg = _cfg_from_dict(config)
+    jax_format = config.get("weights_format", "torch") == "jax"
 
     st_path = model_dir / "backbone.safetensors"
     pth_path = model_dir / "backbone.pth"
@@ -225,14 +262,22 @@ def load_from_hub_dir(model_dir: str | Path) -> LoadedModel:
 
         sd = load_file(str(st_path))
     elif pth_path.exists():
+        if jax_format:
+            raise FileNotFoundError(
+                f"{model_dir}: weights_format='jax' requires backbone.safetensors "
+                "(jax-native checkpoints are never written as torch .pth)"
+            )
         sd = _load_torch_payload(pth_path)
     else:
         raise FileNotFoundError(
             f"No weights in {model_dir}: expected backbone.safetensors or backbone.pth"
         )
-    if needs_migration(sd):
-        sd = migrate_state_dict(sd)
-    params = torch_to_jax_backbone(sd)
+    if jax_format:
+        params = _unflatten_tree(sd)
+    else:
+        if needs_migration(sd):
+            sd = migrate_state_dict(sd)
+        params = torch_to_jax_backbone(sd)
     # strict: every model param must have come from the checkpoint
     params = jax.tree_util.tree_map(jnp.asarray, params)
     expected = jax.tree_util.tree_structure(init_backbone(cfg, jax.random.key(0)))
@@ -269,19 +314,43 @@ def export_hub_checkpoint(
 ) -> Path:
     """Write config.json + backbone weights in the hub format. The .pth
     variant is written with torch.save so the reference loader reads it
-    unchanged (zoo/hub.py:277-327)."""
+    unchanged (zoo/hub.py:277-327).
+
+    Dense families export timm-style keys (reference-compatible both ways).
+    Non-dense families (MoE) auto-select the JAX-native layout: flat flax
+    paths in backbone.safetensors plus ``weights_format: "jax"`` and the MoE
+    placement knobs in config.json — the torch .pth variant raises, since
+    the reference torch architecture cannot express expert stacks."""
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
+    c = model.cfg
+    jax_format = c.moe_experts > 0
     if config is None:
-        c = model.cfg
         config = {
             "img_size": c.img_size, "patch": c.patch, "dim": c.dim, "depth": c.depth,
             "heads": c.heads, "mlp_ratio": c.mlp_ratio, "num_registers": c.num_registers,
             "scale_aware": c.scale_aware, "gelu_approx": c.gelu_approx,
         }
+        if jax_format:
+            config.update({
+                "weights_format": "jax",
+                "moe_experts": c.moe_experts,
+                "moe_every": c.moe_every,
+                "moe_capacity_factor": c.moe_capacity_factor,
+            })
     (out / "config.json").write_text(json.dumps(config, indent=2))
 
-    sd = jax_to_torch_backbone(jax.tree_util.tree_map(np.asarray, model.params))
+    if jax_format and not use_safetensors:
+        raise NotImplementedError(
+            "torch interop is dense-only: MoE expert stacks have no torch "
+            "analog in the reference architecture. Export with "
+            "use_safetensors=True (JAX-native hub format, weights_format='jax')."
+        )
+    host_params = jax.tree_util.tree_map(np.asarray, model.params)
+    if jax_format:
+        sd = _flatten_tree(host_params)
+    else:
+        sd = jax_to_torch_backbone(host_params)
     if use_safetensors:
         from safetensors.numpy import save_file
 
@@ -298,5 +367,6 @@ def export_hub_checkpoint(
         # views; from_numpy on those triggers torch's non-writable warning.
         torch.save({k: torch.from_numpy(np.array(v, order="C")) for k, v in sd.items()},
                    out / "backbone.pth")
-    log.info("exported hub checkpoint -> %s", out)
+    log.info("exported hub checkpoint -> %s (%s layout)", out,
+             "jax" if jax_format else "torch")
     return out

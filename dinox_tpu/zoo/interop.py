@@ -175,7 +175,24 @@ def torch_to_jax_student(sd: Mapping[str, Any]) -> dict[str, Any]:
 
 def jax_to_torch_backbone(params: Mapping[str, Any]) -> dict[str, np.ndarray]:
     """Inverse of :func:`torch_to_jax_backbone`; emits timm-style keys the
-    reference's torch loader accepts (float32 numpy values)."""
+    reference's torch loader accepts (float32 numpy values).
+
+    Dense-only by design: the reference's torch architecture (zoo/arch.py)
+    has no MoE analog, so expert-stacked ``moe`` subtrees cannot round-trip
+    through timm-style keys. Those families ship via the JAX-native hub
+    format instead (zoo/hub.py, ``weights_format: "jax"``)."""
+    moe_blocks = [
+        name for name, node in params.items()
+        if name.startswith("blocks_") and isinstance(node, Mapping) and "moe" in node
+    ]
+    if moe_blocks:
+        raise NotImplementedError(
+            "torch interop is dense-only: the reference torch architecture has "
+            f"no MoE analog (expert-stacked params in {sorted(moe_blocks)[:3]}...). "
+            "Export this family with the JAX-native hub format "
+            "(export_hub_checkpoint writes weights_format='jax' automatically "
+            "for MoE models) instead of a torch .pth."
+        )
     sd: dict[str, np.ndarray] = {}
 
     def f32(v: Any) -> np.ndarray:

@@ -79,8 +79,19 @@ def apply_lora(
     input model's. Training must use ``trainable_mask()`` so only adapters
     (plus any external task head) receive updates — the physics layers
     (scale_embed, patch_embed, cls/pos/registers) are frozen by construction.
+
+    MoE backbones: the default target set is attention-only (qkv/proj) —
+    router and expert stacks carry no LoRA and stay frozen like every other
+    non-adapter weight (routing is part of the pretrained computation
+    structure, not a fine-tuning surface). Explicitly passing fc1/fc2 is
+    allowed and adapts the *dense* blocks only (MoE blocks have no fc1/fc2).
     """
-    targets = tuple(target_modules or DEFAULT_TARGET_MODULES)
+    if target_modules is None and model.cfg.moe_experts > 0:
+        targets: tuple = ("qkv", "proj")
+        log.info("MoE backbone: LoRA targets default to attention-only %s "
+                 "(router/experts frozen)", list(targets))
+    else:
+        targets = tuple(target_modules or DEFAULT_TARGET_MODULES)
     unknown = set(targets) - set(DEFAULT_TARGET_MODULES)
     if unknown:
         raise ValueError(f"unknown target modules: {sorted(unknown)}")

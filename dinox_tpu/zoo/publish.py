@@ -54,7 +54,11 @@ def stage_release(
     out = Path(staging_dir)
     out.mkdir(parents=True, exist_ok=True)
     export_hub_checkpoint(model, out, use_safetensors=True)
-    export_hub_checkpoint(model, out)  # torch-loadable .pth
+    if model.cfg.moe_experts == 0:
+        export_hub_checkpoint(model, out)  # torch-loadable .pth (dense only)
+    else:
+        log.info("MoE family: staging JAX-native safetensors only "
+                 "(torch interop is dense-only)")
     card_cfg = {
         "name": model.cfg.name,
         "dim": model.cfg.dim,
@@ -66,6 +70,12 @@ def stage_release(
         "scale_aware": model.cfg.scale_aware,
         "params_millions": round(model.cfg.params_millions, 1),
     }
+    if model.cfg.moe_experts > 0:
+        card_cfg.update({
+            "moe_experts": model.cfg.moe_experts,
+            "moe_every": model.cfg.moe_every,
+            "weights_format": "jax",
+        })
     (out / "README.md").write_text(
         generate_model_card(
             card_cfg,

@@ -258,3 +258,33 @@ def test_model_flops_accounting():
     assert train_flops_per_slice(s) == 8 * f
     assert mfu(200.0, s) == pytest.approx(2 * mfu(100.0, s))
     assert 0.0 < mfu(869.0, s) < 1.0
+
+
+def test_moe_flops_accounting():
+    """MoE FLOPs model mirrors models/moe.py's dense dispatch. The grouped
+    (per-image) dispatch/combine einsums cost N/H of the expert FFN (~0.17 at
+    ViT-S: 4*N*E*C*D vs 4*E*C*D*H) — the quantitative fact behind the
+    round-4 GShard grouping fix (ungrouped, C grows with the global token
+    count and the einsums dwarf the FFN; 128 vs 692 slices/s measured).
+    Total grows with capacity_factor; dense configs are untouched."""
+    from dinox_tpu.models.config import MODEL_CONFIGS
+    from dinox_tpu.utils.flops import (
+        forward_flops_per_view, moe_flops_per_view_per_block)
+
+    s = MODEL_CONFIGS["vit-small"]
+    moe = s.replace(moe_experts=4, moe_every=2, moe_capacity_factor=1.25)
+    n, d, e = s.seq_len, s.dim, 4
+    cap = max(1, int(n / e * 1.25))
+    per_block = moe_flops_per_view_per_block(moe)
+    einsums = 2.0 * 2.0 * n * e * cap * d
+    ffn = 2.0 * e * cap * d * int(d * s.mlp_ratio) * 2
+    assert per_block == pytest.approx(2.0 * n * d * e + einsums + ffn)
+    assert einsums == pytest.approx(ffn * n / int(d * s.mlp_ratio))
+    # MoE total exceeds dense (extra dispatch work at same nominal capacity)
+    assert forward_flops_per_view(moe) > forward_flops_per_view(s)
+    # monotone in capacity factor
+    assert (forward_flops_per_view(moe.replace(moe_capacity_factor=2.0))
+            > forward_flops_per_view(moe))
+    # dense path untouched by the branch
+    assert forward_flops_per_view(s.replace(moe_experts=0)) == \
+        forward_flops_per_view(s)
