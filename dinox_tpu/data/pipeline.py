@@ -85,7 +85,8 @@ class SliceStackSource:
     that repeated PNG inflate work (the 2.5D analog of the reference's
     reliance on OS page cache + many DataLoader processes)."""
 
-    def __init__(self, rows: list[IndexRow], canvas: int = 512, cache_slices: int = 512):
+    def __init__(self, rows: list[IndexRow], canvas: int = 512, cache_slices: int = 512,
+                 decoded_cache=None):
         if not rows:
             raise ValueError("empty index")
         self.rows = rows
@@ -94,11 +95,19 @@ class SliceStackSource:
         self._cache: "dict[str, np.ndarray]" = {}
         self._cache_lock = threading.Lock()
         self._cache_slices = cache_slices
+        # Optional write-once on-disk decoded cache (data/slice_cache.py):
+        # a hit is a page-cache memcpy instead of a zlib inflate — the
+        # production fix for the 1-core decode ceiling (round-5).
+        self._disk_cache = decoded_cache
 
     def __len__(self) -> int:
         return len(self.rows)
 
     def _decode(self, path: str) -> np.ndarray:
+        if self._disk_cache is not None:
+            plane = self._disk_cache.get(path)
+            if plane is not None:
+                return plane  # memmap view; np.stack copies downstream
         with self._cache_lock:
             cached = self._cache.pop(path, None)
             if cached is not None:
@@ -159,8 +168,10 @@ class TrainLoader:
         start_epoch: int = 0,
         start_batch: int = 0,
         cache_slices: int = 512,
+        decoded_cache=None,
     ):
-        self.source = SliceStackSource(rows, canvas, cache_slices=cache_slices)
+        self.source = SliceStackSource(rows, canvas, cache_slices=cache_slices,
+                                       decoded_cache=decoded_cache)
         self.batch_size = batch_size
         self.seed = seed
         self.diverse = diverse

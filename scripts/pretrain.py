@@ -138,6 +138,12 @@ def parse_args(argv=None):
                         "(batches staged ahead on device; 0 = transfer "
                         "inline in the step loop)")
     p.add_argument("--canvas", type=int, default=512)
+    p.add_argument("--decoded-cache", choices=["auto", "build", "off"],
+                   default="auto",
+                   help="write-once on-disk decoded-slice memmap beside the "
+                        "index (data/slice_cache.py): auto = use if present, "
+                        "build = decode once then use, off = always inflate "
+                        "PNGs")
     p.add_argument("--synthetic-device-batches", type=int, default=0,
                    help="pre-stage this many synthetic batches ON DEVICE and "
                         "cycle them (no per-step H2D; for long synthetic runs)")
@@ -467,6 +473,20 @@ def main(argv=None) -> int:
                   f"and must be divisible by process_count={n_hosts}",
                   file=sys.stderr)
             return 2
+        decoded_cache = None
+        if args.decoded_cache != "off":
+            from dinox_tpu.data.slice_cache import (
+                build_slice_cache, open_slice_cache)
+
+            index_dir = Path(args.index_csv).parent
+            if args.decoded_cache == "build":
+                build_slice_cache(rows, args.canvas, index_dir,
+                                  workers=args.num_workers)
+            decoded_cache = open_slice_cache(index_dir, args.canvas)
+            if decoded_cache is not None:
+                print(f"decoded-slice cache: {len(decoded_cache)} slices "
+                      f"@{args.canvas} (zlib inflate off the hot path)",
+                      flush=True)
         loader = TrainLoader(
             rows,
             args.batch_size // n_hosts,
@@ -476,6 +496,7 @@ def main(argv=None) -> int:
             num_workers=args.num_workers,
             host_id=jax.process_index(),
             num_hosts=jax.process_count(),
+            decoded_cache=decoded_cache,
         )
         batches = AccumBatches(loader, args.accumulation_steps)
         loader_position = lambda: loader.position  # noqa: E731

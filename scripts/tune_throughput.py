@@ -69,6 +69,12 @@ def parse_args(argv=None):
     p.add_argument("--cache-slices", type=int, default=512,
                    help="decoded-slice LRU size (0 = decode every read; use "
                         "0 for an honest cold-decode loader ceiling)")
+    p.add_argument("--decoded-cache", choices=["auto", "build", "off"],
+                   default="off",
+                   help="on-disk decoded-slice memmap (data/slice_cache.py). "
+                        "Default off: the tuner's job is measuring the "
+                        "decode path; 'auto'/'build' measure the cached "
+                        "production path instead")
     p.add_argument("--loader-only", action="store_true",
                    help="measure the host pipeline alone (loader-stress "
                         "ceiling): no model, no device transfers")
@@ -93,11 +99,21 @@ def _make_loader(args, batch_size: int, num_workers: int, prefetch: int):
     from dinox_tpu.data.pipeline import TrainLoader
 
     rows = load_index_rows(args.index_csv)
+    decoded_cache = None
+    if args.decoded_cache != "off":
+        from dinox_tpu.data.slice_cache import build_slice_cache, open_slice_cache
+        from pathlib import Path
+
+        index_dir = Path(args.index_csv).parent
+        if args.decoded_cache == "build":
+            build_slice_cache(rows, args.canvas, index_dir, workers=num_workers)
+        decoded_cache = open_slice_cache(index_dir, args.canvas)
     if args.inflate > 1:
         rows = rows * args.inflate
     return TrainLoader(rows, batch_size, seed=0, canvas=args.canvas,
                        num_workers=num_workers, prefetch=prefetch,
-                       cache_slices=args.cache_slices)
+                       cache_slices=args.cache_slices,
+                       decoded_cache=decoded_cache)
 
 
 def measure_loader_only(args, batch_size: int, num_workers: int,
