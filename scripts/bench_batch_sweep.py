@@ -37,6 +37,15 @@ def parse_args(argv=None):
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--config", default="vit-small")
+    p.add_argument("--remat", action="store_true",
+                   help="per-block rematerialization (use_grad_checkpoint) — "
+                        "sweep batch x remat at L/G scale")
+    p.add_argument("--factored-nu", action="store_true",
+                   help="factored second moment (required to fit ViT-G "
+                        "optimizer state on one 16 GB chip)")
+    p.add_argument("--mu-dtype", default="float32")
+    p.add_argument("--lr", type=float, default=1e-4,
+                   help="bench-only; 3e-5 for vit-giant (collapse otherwise)")
     p.add_argument("--profile", action="store_true",
                    help="capture a trace per batch size and diff categories")
     p.add_argument("--profile-steps", type=int, default=4)
@@ -46,7 +55,9 @@ def parse_args(argv=None):
 
 
 def bench_one(config: str, batch_size: int, steps: int, warmup: int,
-              profile_dir: Path | None, profile_steps: int) -> dict:
+              profile_dir: Path | None, profile_steps: int,
+              remat: bool = False, factored_nu: bool = False,
+              mu_dtype: str = "float32", lr: float = 1e-4) -> dict:
     from dinox_tpu.models.config import MODEL_CONFIGS
     from dinox_tpu.train.state import TrainConfig, create_train_state
     from dinox_tpu.train.step import build_train_step
@@ -54,11 +65,15 @@ def bench_one(config: str, batch_size: int, steps: int, warmup: int,
 
     cfg = TrainConfig(
         model=MODEL_CONFIGS[config].replace(
-            scale_aware=True, attn_impl="pallas", gelu_approx=True),
+            scale_aware=True, attn_impl="pallas", gelu_approx=True,
+            use_grad_checkpoint=remat),
         batch_size=batch_size,
         koleo_weight=0.1,
         warmup_steps=100,
         max_steps=5000,
+        lr=lr,
+        factored_nu=factored_nu,
+        mu_dtype=mu_dtype,
     )
     state = create_train_state(cfg, jax.random.key(0))
     step_fn = build_train_step(cfg, donate=True)
@@ -82,6 +97,7 @@ def bench_one(config: str, batch_size: int, steps: int, warmup: int,
 
     row = {
         "batch_size": batch_size,
+        "remat": remat,
         "ms_per_step": round(dt * 1e3, 2),
         "slices_per_s": round(batch_size / dt, 1),
         "mfu": round(mfu(batch_size / dt, MODEL_CONFIGS[config]), 3),
@@ -111,7 +127,9 @@ def main(argv=None) -> int:
             pdir.mkdir(parents=True, exist_ok=True)
         try:
             row = bench_one(args.config, bs, args.steps, args.warmup,
-                            pdir, args.profile_steps)
+                            pdir, args.profile_steps, remat=args.remat,
+                            factored_nu=args.factored_nu,
+                            mu_dtype=args.mu_dtype, lr=args.lr)
         except Exception as e:
             row = {"batch_size": bs, "status": f"{type(e).__name__}: {e}"}
             print(f"# bs{bs} failed: {row['status']}", file=sys.stderr)
