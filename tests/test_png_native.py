@@ -57,12 +57,18 @@ def test_native_not_slower_than_pil():
     arr = np.random.default_rng(3).integers(20000, 46000, (512, 512), dtype=np.uint16)
     data = png_bytes(arr)
 
-    def time_n(fn, n=20):
+    def time_n(fn, n=8, reps=5):
+        # best-of-reps mean: a mean alone flakes whenever the scheduler
+        # preempts one rep (observed under a concurrent chip-feed process);
+        # the minimum is the standard noise-robust microbenchmark estimator.
         fn()
-        t0 = time.perf_counter()
-        for _ in range(n):
-            fn()
-        return (time.perf_counter() - t0) / n
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                fn()
+            best = min(best, (time.perf_counter() - t0) / n)
+        return best
 
     t_native = time_n(lambda: decode_png16(data))
     t_pil = time_n(lambda: np.asarray(Image.open(io.BytesIO(data))))
