@@ -31,6 +31,24 @@ run_resumable() {
   return "$rc"
 }
 
+stage_patch_probe() {
+  # Mechanism localization for the signature-strength curve: CLS vs
+  # mean-patch dataset probe on each arm (queue A must have finished).
+  for tag_set in "033 data/synth_v2_eval_sig033" "100 data/synth_v2_eval_big" \
+                 "200 data/synth_v2_eval_sig200"; do
+    set -- $tag_set
+    local tag=$1 evalset=$2
+    note "=== patch-vs-CLS probe sig_${tag}"
+    timeout 2400 python scripts/round5_patch_probe.py \
+      --checkpoint "data/runs/sig_${tag}" \
+      --index-csv "$evalset/index.csv" \
+      --split-manifest "$evalset/split_manifest.json" \
+      --out "docs/round5/sig_${tag}_patch_probe.json" \
+      > "docs/round5/sig_${tag}_patch_probe.log" 2>&1
+    note "patch probe sig_${tag} rc=$?"
+  done
+}
+
 stage_flagship() {
   note "=== flagship: MVP two-organ scale-aware 5K (release backbone)"
   run_resumable data/runs/mvp_flagship 4200 2 \
@@ -160,6 +178,6 @@ stage_hostfed_cached() {
   note "hostfed_cached rc=$?"
 }
 
-STAGES=${*:-"flagship flagship_eval flagship_lora flagship_release moe2k moe_hub hostfed_cached"}
+STAGES=${*:-"patch_probe flagship flagship_eval flagship_lora flagship_release moe2k moe_hub hostfed_cached"}
 for s in $STAGES; do "stage_$s"; done
 note "queue_b done"
