@@ -32,7 +32,8 @@ BASELINE_SLICES_PER_S = 159.0  # RTX 3090 Ti, docs/EXPERIMENTS.md:531-533
 
 
 def bench_train_step(batch_size: int, steps: int = 20, warmup: int = 5,
-                     gelu_approx: bool = False, fused_attn: bool = False) -> float:
+                     gelu_approx: bool = False, fused_attn: bool = False,
+                     moe_experts: int = 0) -> float:
     from dinox_tpu.models.config import MODEL_CONFIGS
     from dinox_tpu.train.state import TrainConfig, create_train_state
     from dinox_tpu.train.step import build_train_step
@@ -40,7 +41,7 @@ def bench_train_step(batch_size: int, steps: int = 20, warmup: int = 5,
     cfg = TrainConfig(
         model=MODEL_CONFIGS["vit-small"].replace(
             scale_aware=True, attn_impl="pallas", gelu_approx=gelu_approx,
-            fused_attn=fused_attn),
+            fused_attn=fused_attn, moe_experts=moe_experts),
         batch_size=batch_size,
         koleo_weight=0.1,
         warmup_steps=100,
@@ -157,6 +158,10 @@ def main() -> int:
         ("exact", False, False),
         ("tanh", True, False),
         ("tanh+fused_attn", True, True),
+        # Switch-MoE family figure (E4/cf1.25, tanh): reported with the
+        # MoE-aware MFU denominator (utils/flops.py moe terms) so the 692-ish
+        # slices/s number ships with a utilization, not just a rate.
+        ("moe4", True, False),
     ):
         # bs96 is the single-chip peak: the round-4 per-HLO-category sweep
         # (docs/round4/batch_sweep.json) measured 884.2 slices/s at 96 vs
@@ -165,16 +170,17 @@ def main() -> int:
         # stay flat per sample.
         for bs in (96,):
             try:
-                rate = bench_train_step(bs, gelu_approx=approx, fused_attn=fused)
+                rate = bench_train_step(bs, gelu_approx=approx, fused_attn=fused,
+                                        moe_experts=4 if name == "moe4" else 0)
             except Exception as e:  # OOM: keep the best smaller one
                 print(f"# {name} batch {bs} failed: {type(e).__name__}: {e}",
                       file=sys.stderr)
                 continue
             print(f"# gelu={name} batch={bs}: {rate:.1f} slices/s", file=sys.stderr)
             rates[name] = max(rates.get(name, 0.0), rate)
-    # Primary = the best shipping-default (tanh) arm; fall back to exact only
-    # if every tanh arm failed. The gelu label follows whichever arm actually
-    # produced `best` (a lone tanh+fused_attn success is still tanh).
+    # Primary = the best shipping-default (tanh) DENSE arm; fall back to exact
+    # only if every tanh arm failed. The gelu label follows whichever arm
+    # actually produced `best` (a lone tanh+fused_attn success is still tanh).
     tanh_arms = {k: v for k, v in rates.items() if k.startswith("tanh")}
     pool = tanh_arms or rates
     best_key = max(pool, key=pool.get) if pool else None
@@ -183,6 +189,8 @@ def main() -> int:
     from dinox_tpu.models.config import MODEL_CONFIGS
     from dinox_tpu.utils.flops import mfu
 
+    moe_cfg = MODEL_CONFIGS["vit-small"].replace(
+        moe_experts=4, gelu_approx=True)
     print(
         json.dumps(
             {
@@ -195,6 +203,8 @@ def main() -> int:
                 "exact_gelu_slices_per_sec": round(rates.get("exact", 0.0), 1),
                 "fused_attn_slices_per_sec": round(
                     rates.get("tanh+fused_attn", 0.0), 1),
+                "moe4_slices_per_sec": round(rates.get("moe4", 0.0), 1),
+                "moe4_mfu": round(mfu(rates.get("moe4", 0.0), moe_cfg), 3),
             }
         )
     )
