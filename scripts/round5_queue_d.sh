@@ -10,6 +10,21 @@ LOG=docs/round5/queue_d.log
 mkdir -p docs/round5
 note() { echo "[$(date +%H:%M:%S)] $*" | tee -a "$LOG"; }
 
+stage_sig100_release() {
+  # Third release artifact: the 20K five-dataset v2 backbone (s=1.0 arm) —
+  # the strongest quality numbers in the repo (retrieval 133x, spacing R^2
+  # 0.941) staged through the same publish path as the MVP flagship.
+  note "=== sig_100 20K backbone release staging"
+  timeout 1800 python scripts/publish_release.py \
+    --backbone data/runs/sig_100 \
+    --model-name dinox-tpu-vits-v2-20k \
+    --eval-json docs/round5/sig_100_panorgan.json \
+    --retrieval-json docs/round5/sig_100_view_retrieval.json \
+    --staging-dir data/release/sig_100 \
+    --snapshot-dir docs/release/sig_100 >> "$LOG" 2>&1
+  note "sig_100 release rc=$?"
+}
+
 stage_vitl_sweep() {
   note "=== ViT-L batch x remat sweep"
   timeout 5400 python scripts/bench_batch_sweep.py --config vit-large \
@@ -51,6 +66,6 @@ stage_bench() {
   note "bench rc=$?"
 }
 
-STAGES=${*:-"moe_sweep vitl_sweep vitg_sweep bench"}
+STAGES=${*:-"sig100_release moe_sweep vitl_sweep vitg_sweep bench"}
 for s in $STAGES; do "stage_$s"; done
 note "queue_d done"
