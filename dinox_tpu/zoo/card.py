@@ -179,16 +179,18 @@ def _evaluation(ev: dict) -> list[str]:
         lines += [f"### Spacing Prediction R²: **{sp.get('r2', 0):.3f}**", ""]
     lines.append(
         f"*Evaluation on {ev.get('val_slices', '?')} validation slices, "
-        f"step {ev.get('step', '?')}, seed {ev.get('seed', '?')}.*"
+        f"step {ev.get('step', 'final')}, seed {ev.get('seed', '?')}.*"
     )
     lines.append("")
     return lines
 
 
 def _usage(model_name: str, scale_aware: bool) -> list[str]:
-    spacing = ", spacing=(0.7, 0.7, 1.5)" if scale_aware else ""
+    spacing = (
+        ", pixel_spacing=(0.7, 0.7), slice_thickness=1.5" if scale_aware else ""
+    )
     comment = (
-        "\n    # spacing = (pixel_spacing_x, pixel_spacing_y, slice_thickness) in mm"
+        "\n    # pixel_spacing in mm (x, y); slice_thickness in mm"
         if scale_aware
         else ""
     )

@@ -16,6 +16,9 @@ import tempfile
 from pathlib import Path
 from typing import Any, Optional
 
+import jax
+import numpy as np
+
 from dinox_tpu.zoo.card import _scrub_path, generate_model_card
 from dinox_tpu.zoo.hub import LoadedModel, export_hub_checkpoint
 
@@ -68,7 +71,13 @@ def stage_release(
         "img_size": model.cfg.img_size,
         "mlp_ratio": model.cfg.mlp_ratio,
         "scale_aware": model.cfg.scale_aware,
-        "params_millions": round(model.cfg.params_millions, 1),
+        # Actual leaf count of the shipped backbone params — NOT the
+        # reference's rough formula (ModelConfig.params_millions), which
+        # over-counts the MLP ~4x and would mislabel a 22M ViT-S as 70M
+        # on the public card.
+        "params_millions": round(sum(
+            int(np.prod(np.shape(x)))
+            for x in jax.tree_util.tree_leaves(model.params)) / 1e6, 1),
     }
     if model.cfg.moe_experts > 0:
         card_cfg.update({

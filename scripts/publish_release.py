@@ -77,6 +77,15 @@ def load_backbone(path_str: str):
         cfg_path = p / "config.json"
         if cfg_path.exists():
             training_config = json.loads(cfg_path.read_text())
+        # The trainer records provenance (git commit, argv, data hash) in a
+        # sibling provenance.json — merge it so the card's Training section
+        # carries the training-time commit, not a dash.
+        prov_path = p / "provenance.json"
+        if training_config is not None and prov_path.exists():
+            prov = json.loads(prov_path.read_text())
+            for key in ("git_commit", "data_manifest_hash"):
+                if key in prov:
+                    training_config.setdefault(key, prov[key])
         return model, training_config
     return load_model(p), None
 

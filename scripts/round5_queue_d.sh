@@ -10,6 +10,22 @@ LOG=docs/round5/queue_d.log
 mkdir -p docs/round5
 note() { echo "[$(date +%H:%M:%S)] $*" | tee -a "$LOG"; }
 
+stage_flagship_restage() {
+  # Regenerate the flagship staging/snapshot with the corrected card
+  # (real param count, training git commit from provenance.json, fixed
+  # encode() kwargs in the usage snippet).
+  note "=== flagship release re-staging (corrected card)"
+  timeout 1800 python scripts/publish_release.py \
+    --backbone data/runs/mvp_flagship \
+    --model-name dinox-tpu-vits-mvp-scale-aware \
+    --eval-json docs/round5/mvp_flagship_eval.json \
+    --retrieval-json docs/round5/mvp_flagship_retrieval.json \
+    --adapter data/runs/mvp_flagship_lora \
+    --staging-dir data/release/mvp_flagship \
+    --snapshot-dir docs/release/mvp_flagship >> "$LOG" 2>&1
+  note "flagship restage rc=$?"
+}
+
 stage_sig100_release() {
   # Third release artifact: the 20K five-dataset v2 backbone (s=1.0 arm) —
   # the strongest quality numbers in the repo (retrieval 133x, spacing R^2
@@ -66,6 +82,6 @@ stage_bench() {
   note "bench rc=$?"
 }
 
-STAGES=${*:-"sig100_release moe_sweep vitl_sweep vitg_sweep bench"}
+STAGES=${*:-"flagship_restage sig100_release moe_sweep vitl_sweep vitg_sweep bench"}
 for s in $STAGES; do "stage_$s"; done
 note "queue_d done"
