@@ -82,3 +82,37 @@ def test_publish_dry_run_stages_everything(tmp_path):
     # staged checkpoint loads back
     re_model = load_from_hub_dir(staging)
     assert re_model.cfg.dim == 32 and re_model.scale_aware
+
+
+def test_publish_card_reports_real_param_count_and_valid_usage(tmp_path):
+    """Regression: the card must carry the actual leaf count of the shipped
+    params (not the reference's rough formula, which over-counts ~3x) and a
+    usage snippet whose kwargs exist on encode()."""
+    import inspect
+
+    import numpy as np
+
+    from dinox_tpu.zoo.encode import encode
+
+    params = init_backbone(CFG, jax.random.key(0))
+    model = LoadedModel(CFG, params)
+    staging = publish_to_hub(
+        model,
+        "someone/dinox-test",
+        training_config={"lr": 1e-4, "git_commit": "abc1234"},
+        dry_run=True,
+        staging_dir=tmp_path / "stage",
+    )
+    card = (staging / "README.md").read_text()
+    true_m = sum(int(np.prod(np.shape(x)))
+                 for x in jax.tree_util.tree_leaves(params)) / 1e6
+    assert f"| Parameters | {round(true_m, 1)}M |" in card
+    # training git commit surfaces in the card
+    assert "`abc1234`" in card
+    # every kwarg the usage snippet shows must exist on encode()
+    sig = set(inspect.signature(encode).parameters)
+    assert "pixel_spacing" in card and "pixel_spacing" in sig
+    assert "slice_thickness" in card and "slice_thickness" in sig
+    import re
+
+    assert not re.search(r"(?<!pixel_)spacing=\(", card)  # old, nonexistent kwarg
