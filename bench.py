@@ -182,7 +182,8 @@ def main() -> int:
     # only if every tanh arm failed. The gelu label follows whichever arm
     # actually produced `best` (a lone tanh+fused_attn success is still tanh).
     tanh_arms = {k: v for k, v in rates.items() if k.startswith("tanh")}
-    pool = tanh_arms or rates
+    dense_arms = {k: v for k, v in rates.items() if k != "moe4"}
+    pool = tanh_arms or dense_arms  # never let the MoE arm become the dense headline
     best_key = max(pool, key=pool.get) if pool else None
     best = pool.get(best_key, 0.0)
 

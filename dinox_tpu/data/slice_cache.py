@@ -39,6 +39,35 @@ log = logging.getLogger(__name__)
 _STEM = "decoded_cache_c{canvas}"
 
 
+def _fingerprint(paths: list[str]) -> dict[str, list[int]]:
+    """(size, mtime_ns) per source PNG — cheap staleness detection. A
+    regenerated tree (new seed, new --signature-strength) must never be
+    silently served from a cache built against the old pixels."""
+    out = {}
+    for p in paths:
+        st = Path(p).stat()
+        out[p] = [st.st_size, st.st_mtime_ns]
+    return out
+
+
+def _source_fresh(meta: dict, want_paths: Optional[list[str]] = None) -> bool:
+    """True iff every fingerprinted source file is unchanged on disk (and,
+    when *want_paths* is given, every wanted path is covered)."""
+    src = meta.get("source")
+    if not isinstance(src, dict):
+        return False  # legacy meta without fingerprints: treat as stale
+    if want_paths is not None and not set(want_paths) <= set(src):
+        return False
+    for p, (size, mtime_ns) in src.items():
+        try:
+            st = Path(p).stat()
+        except OSError:
+            return False
+        if st.st_size != size or st.st_mtime_ns != mtime_ns:
+            return False
+    return True
+
+
 def cache_paths(index_dir: str | Path, canvas: int) -> tuple[Path, Path]:
     d = Path(index_dir)
     stem = _STEM.format(canvas=canvas)
@@ -57,12 +86,17 @@ def build_slice_cache(
     from dinox_tpu.data.pipeline import _read_png_u16, _to_canvas
 
     bin_path, meta_path = cache_paths(out_dir, canvas)
-    if meta_path.exists() and not force:
-        log.info("decoded cache already present: %s", meta_path)
-        return bin_path
     paths = sorted({r.png_path for r in rows})
+    if meta_path.exists() and not force:
+        try:
+            meta = json.loads(meta_path.read_text())
+        except Exception:  # noqa: BLE001 - corrupt meta -> rebuild
+            meta = None
+        if meta is not None and _source_fresh(meta, paths):
+            log.info("decoded cache already present and fresh: %s", meta_path)
+            return bin_path
+        log.info("decoded cache stale or incomplete; rebuilding: %s", meta_path)
     n = len(paths)
-    mm = np.lib.format.open_memmap  # noqa: F841 (np.memmap below; keep simple)
     arr = np.memmap(bin_path, dtype=np.uint16, mode="w+",
                     shape=(n, canvas, canvas))
     t0 = time.perf_counter()
@@ -75,7 +109,8 @@ def build_slice_cache(
     arr.flush()
     del arr
     meta = {"canvas": canvas, "n": n,
-            "paths": {p: i for i, p in enumerate(paths)}}
+            "paths": {p: i for i, p in enumerate(paths)},
+            "source": _fingerprint(paths)}
     meta_path.write_text(json.dumps(meta))
     dt = time.perf_counter() - t0
     log.info("decoded cache built: %d slices @%d in %.1fs (%.1f img/s) -> %s",
@@ -114,6 +149,11 @@ def open_slice_cache(index_dir: str | Path, canvas: int) -> Optional[SliceCache]
         expect = int(meta["n"]) * canvas * canvas * 2
         if bin_path.stat().st_size != expect:
             log.warning("decoded cache %s has wrong size; ignoring", bin_path)
+            return None
+        if not _source_fresh(meta):
+            log.warning("decoded cache %s is stale (source PNGs changed since "
+                        "build); ignoring — rebuild with --decoded-cache build",
+                        bin_path)
             return None
         cache = SliceCache(bin_path, meta)
     except Exception as e:  # noqa: BLE001 - any corruption -> PNG fallback

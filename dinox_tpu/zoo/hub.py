@@ -325,27 +325,32 @@ def export_hub_checkpoint(
     out.mkdir(parents=True, exist_ok=True)
     c = model.cfg
     jax_format = c.moe_experts > 0
+    if jax_format and not use_safetensors:
+        # Raise BEFORE any file is written so a failed export never leaves a
+        # partial dir (a lone config.json would pass the hub-dir sniff).
+        raise NotImplementedError(
+            "torch interop is dense-only: MoE expert stacks have no torch "
+            "analog in the reference architecture. Export with "
+            "use_safetensors=True (JAX-native hub format, weights_format='jax')."
+        )
     if config is None:
         config = {
             "img_size": c.img_size, "patch": c.patch, "dim": c.dim, "depth": c.depth,
             "heads": c.heads, "mlp_ratio": c.mlp_ratio, "num_registers": c.num_registers,
             "scale_aware": c.scale_aware, "gelu_approx": c.gelu_approx,
         }
-        if jax_format:
-            config.update({
-                "weights_format": "jax",
-                "moe_experts": c.moe_experts,
-                "moe_every": c.moe_every,
-                "moe_capacity_factor": c.moe_capacity_factor,
-            })
+    if jax_format:
+        # Non-negotiable for loadability: even a caller-supplied config must
+        # carry the weights format and MoE placement knobs, or the staged dir
+        # reads back as torch-format and crashes on flat flax keys.
+        config = dict(config)
+        config.update({
+            "weights_format": "jax",
+            "moe_experts": c.moe_experts,
+            "moe_every": c.moe_every,
+            "moe_capacity_factor": c.moe_capacity_factor,
+        })
     (out / "config.json").write_text(json.dumps(config, indent=2))
-
-    if jax_format and not use_safetensors:
-        raise NotImplementedError(
-            "torch interop is dense-only: MoE expert stacks have no torch "
-            "analog in the reference architecture. Export with "
-            "use_safetensors=True (JAX-native hub format, weights_format='jax')."
-        )
     host_params = jax.tree_util.tree_map(np.asarray, model.params)
     if jax_format:
         sd = _flatten_tree(host_params)

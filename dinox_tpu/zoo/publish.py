@@ -53,9 +53,16 @@ def stage_release(
     eval_results: Optional[dict[str, Any]] = None,
     lineage: Optional[dict[str, Any]] = None,
 ) -> Path:
-    """Assemble the full release directory (both weight formats + card)."""
+    """Assemble the full release directory (both weight formats + card).
+
+    The staging dir is owned by the publisher and rebuilt from scratch:
+    re-staging a different model into the same dir must not ship leftovers
+    from the previous run (e.g. a dense backbone.pth surviving an MoE
+    re-stage, or a stale adapter/)."""
     out = Path(staging_dir)
-    out.mkdir(parents=True, exist_ok=True)
+    if out.exists():
+        shutil.rmtree(out)
+    out.mkdir(parents=True)
     export_hub_checkpoint(model, out, use_safetensors=True)
     if model.cfg.moe_experts == 0:
         export_hub_checkpoint(model, out)  # torch-loadable .pth (dense only)

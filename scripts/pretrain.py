@@ -434,6 +434,16 @@ def main(argv=None) -> int:
     }
 
     # -- data ---------------------------------------------------------------
+    if args.signature_strength != 1.0 and not (
+            args.synthetic_device_batches > 0 and args.synthetic_datasets == 5):
+        # Refuse rather than silently train at strength 1.0 against an eval
+        # set generated at another strength — the arm comparison would be
+        # invalid with no sign anything was wrong.
+        print("error: --signature-strength only applies to "
+              "--synthetic-device-batches with --synthetic-datasets 5; for "
+              "on-disk data regenerate the tree with make_synthetic_data "
+              "--signature-strength instead", file=sys.stderr)
+        return 2
     loader = None
     if args.synthetic_device_batches > 0:
         batches = DeviceSyntheticBatches(

@@ -110,7 +110,10 @@ def snapshot_weightless(staging: Path, snapshot: Path) -> Path:
             continue
         rel = f.relative_to(staging)
         if f.suffix in WEIGHT_SUFFIXES:
-            digest = hashlib.sha256(f.read_bytes()).hexdigest()
+            # Stream the hash — ViT-L/G weight files run to gigabytes and
+            # this host is small; never materialize the whole file.
+            with f.open("rb") as fh:
+                digest = hashlib.file_digest(fh, "sha256").hexdigest()
             manifest_lines.append(f"{digest}  {f.stat().st_size:>12}  {rel}")
             continue
         dst = snapshot / rel

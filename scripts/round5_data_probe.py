@@ -55,7 +55,7 @@ def features(img01: np.ndarray) -> np.ndarray:
 def probe_tree(tree: Path, max_per_series: int = 6) -> dict:
     from sklearn.linear_model import LogisticRegression
 
-    from dinox_tpu.data.hu import window
+    from dinox_tpu.data.hu import decode_hu16, window
     from dinox_tpu.data.index import load_index_rows
     from dinox_tpu.data.pipeline import _read_png_u16
 
@@ -71,9 +71,8 @@ def probe_tree(tree: Path, max_per_series: int = 6) -> dict:
     names = sorted({r.dataset for r in rows})
     for sd, srows in sorted(by_series.items()):
         for r in srows[:max_per_series]:
-            hu_deci = (_read_png_u16(r.png_path).astype(np.float32)
-                       - 32768.0) * 0.1
-            feats.append(features(window(hu_deci, 40.0, 400.0)))
+            hu = decode_hu16(_read_png_u16(r.png_path))
+            feats.append(features(window(hu, 40.0, 400.0)))
             labels.append(names.index(r.dataset))
             groups.append(sd)
     feats = np.stack(feats)

@@ -4,6 +4,7 @@ subsets (train/val of one index), and fail safe (missing/corrupt/mismatched
 cache -> silent PNG fallback)."""
 
 import json
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -11,6 +12,7 @@ import pytest
 from dinox_tpu.data.index import IndexRow
 from dinox_tpu.data.pipeline import SliceStackSource, TrainLoader
 from dinox_tpu.data.slice_cache import (
+    _fingerprint,
     build_slice_cache,
     cache_paths,
     open_slice_cache,
@@ -96,16 +98,42 @@ def test_fail_safe_fallbacks(tree):
     # corrupt meta -> None
     meta_path.write_text("{not json")
     assert open_slice_cache(root, CANVAS) is None
+    # legacy meta without source fingerprints -> treated stale -> None
+    paths = sorted({r.png_path for r in rows})
+    meta_path.write_text(json.dumps(
+        {"canvas": CANVAS, "n": len(rows),
+         "paths": {p: i for i, p in enumerate(paths)}}))
+    assert open_slice_cache(root, CANVAS) is None
     # unknown path -> miss (None from get), loader decodes the PNG instead
     meta_path.write_text(json.dumps(
         {"canvas": CANVAS, "n": len(rows),
-         "paths": {p: i for i, p in enumerate(
-             sorted({r.png_path for r in rows}))}}))
+         "paths": {p: i for i, p in enumerate(paths)},
+         "source": _fingerprint(paths)}))
     cache = open_slice_cache(root, CANVAS)
     assert cache.get("/nonexistent.png") is None
     src = SliceStackSource(rows, CANVAS, decoded_cache=cache)
     px, _, _ = src.get(2)
     assert px.shape == (CANVAS, CANVAS, 3)
+
+
+def test_stale_source_detected(tree):
+    """Regenerating a PNG in place must invalidate the cache (open -> None)
+    and make a no-force rebuild actually rebuild — never silently serve the
+    old pixels."""
+    root, rows = tree
+    build_slice_cache(rows, CANVAS, root, workers=2)
+    assert open_slice_cache(root, CANVAS) is not None
+    # regenerate one source PNG with different pixels
+    victim = rows[3]
+    make_hu16_png(Path(victim.png_path), seed=999, size=CANVAS)
+    assert open_slice_cache(root, CANVAS) is None
+    # build without force notices staleness and rebuilds to the new pixels
+    build_slice_cache(rows, CANVAS, root, workers=2)
+    cache = open_slice_cache(root, CANVAS)
+    assert cache is not None
+    fresh, _, _ = SliceStackSource([victim], CANVAS).get(0)
+    cached, _, _ = SliceStackSource([victim], CANVAS, decoded_cache=cache).get(0)
+    np.testing.assert_array_equal(fresh, cached)
 
 
 def test_build_is_idempotent_and_force_rebuilds(tree):
