@@ -59,6 +59,7 @@ def train(
     log_jsonl: bool = False,
     flush_max_steps: int = 64,
     flush_secs: float = 10.0,
+    anomaly_spike_floor: float = 0.0,
     tensorboard: bool = True,
     loader_position: Optional[Callable[[], tuple[int, int]]] = None,
     on_step: Optional[Callable[[int, dict, TrainState], None]] = None,
@@ -92,7 +93,7 @@ def train(
     logger = MetricLogger(run_dir, jsonl=log_jsonl and main_proc,
                           tensorboard=tensorboard and main_proc,
                           stdout=main_proc)
-    detector = AnomalyDetector()
+    detector = AnomalyDetector(spike_floor=anomaly_spike_floor)
     stop = GracefulStop()
 
     it = iter(batches)

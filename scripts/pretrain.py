@@ -171,6 +171,11 @@ def parse_args(argv=None):
                         "emergency checkpoints, more device round-trips")
     p.add_argument("--metric-flush-secs", type=float, default=10.0,
                    help="wall-clock cadence of the metric drain")
+    p.add_argument("--anomaly-spike-floor", type=float, default=0.0,
+                   help="absolute loss headroom below which the relative "
+                        "2x-mean spike warning is suppressed (0 = relative "
+                        "only; ~0.5 recommended for long runs so converged-"
+                        "scale jitter does not spam warnings)")
     p.add_argument("--no-tensorboard", action="store_true")
     p.add_argument("--profile-steps", type=int, default=0,
                    help="capture a jax.profiler trace of this many steps into "
@@ -611,6 +616,7 @@ def main(argv=None) -> int:
             log_jsonl=args.log_json,
             flush_max_steps=args.metric_flush_steps,
             flush_secs=args.metric_flush_secs,
+            anomaly_spike_floor=args.anomaly_spike_floor,
             tensorboard=not args.no_tensorboard,
             loader_position=loader_position,
             on_step=on_step,

@@ -89,6 +89,26 @@ def test_anomaly_detector_spike_and_collapse():
     assert sev == "fatal"
 
 
+def test_anomaly_spike_floor_suppresses_converged_jitter():
+    """At converged loss scale the relative 2x threshold alone fires on
+    ~0.01-magnitude jitter (observed in the round-5 30K soak); an absolute
+    spike_floor suppresses those while real spikes still warn."""
+    det = AnomalyDetector(window=3, spike_factor=2.0, spike_floor=0.5)
+    for _ in range(3):
+        assert det.check(0.01, 0.5) == ("ok", "")
+    # 3x the mean but only +0.02 absolute: below the floor -> ok
+    assert det.check(0.03, 0.5) == ("ok", "")
+    # a real spike clears both the relative factor and the floor
+    sev, msg = det.check(1.0, 0.5)
+    assert sev == "warn" and "spike" in msg
+    # floor=0 keeps the pure-relative legacy behavior
+    det0 = AnomalyDetector(window=3, spike_factor=2.0)
+    for _ in range(3):
+        det0.check(0.01, 0.5)
+    sev, msg = det0.check(0.03, 0.5)
+    assert sev == "warn" and "spike" in msg
+
+
 def test_zoo_public_api_surface():
     """The lazy re-exports advertised by the zoo package all resolve."""
     import dinox_tpu.zoo as zoo
