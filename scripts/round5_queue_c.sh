@@ -21,11 +21,18 @@ COMMON=(
 )
 
 leg() {
+  # One interrupted slice of a single 30K-step run: every leg carries the
+  # SAME --max-steps 30000 schedule horizon and stops early via
+  # --stop-after, so the LR schedule is identical across restarts and any
+  # seam discontinuity is attributable to resume itself (a per-leg
+  # --max-steps would change the cosine horizon at each seam — an LR jump
+  # the first version of this script self-inflicted).
   local n=$1 target=$2
   note "=== soak leg $n -> step $target (deliberate restart boundary)"
   local resume=()
   [ -d "$RUN/ckpt" ] && resume=(--resume "$RUN")
-  timeout 5400 python scripts/pretrain.py "${COMMON[@]}" --max-steps "$target" \
+  timeout 5400 python scripts/pretrain.py "${COMMON[@]}" --max-steps 30000 \
+    --stop-after "$target" \
     --run-dir "$RUN" "${resume[@]}" >> "$LOG" 2>&1
   note "soak leg $n rc=$?"
 }
