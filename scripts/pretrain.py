@@ -204,11 +204,16 @@ class SyntheticBatches:
 
     def __init__(self, batch_size, accum, canvas, seed=0):
         self.batch_size, self.accum, self.canvas, self.seed = batch_size, accum, canvas, seed
+        self._start = 0
+
+    def seek(self, step: int) -> None:
+        """See DeviceSyntheticBatches.seek: resume-phase alignment."""
+        self._start = step
 
     def __iter__(self):
         from dinox_tpu.data.pipeline import Batch
 
-        i = 0
+        i = self._start
         while True:
             rng = np.random.default_rng((self.seed, i))
             yield Batch(
@@ -286,11 +291,20 @@ class DeviceSyntheticBatches:
         self._batches = [make(jax.random.fold_in(base, i)) for i in range(n_batches)]
         for px, sp in self._batches:
             px.block_until_ready()
+        self._start = 0
+
+    def seek(self, step: int) -> None:
+        """Align the cycle phase with a resumed run: an uninterrupted run
+        consumes batch (s-1) % n_batches at optimizer step s, so a run
+        resumed at start_step must begin the cycle there — not at 0 — for
+        the post-seam stream to match the uninterrupted one (the device
+        analog of the disk loader's loader_epoch/loader_batch restore)."""
+        self._start = step
 
     def __iter__(self):
         from dinox_tpu.data.pipeline import Batch
 
-        i = 0
+        i = self._start
         while True:
             px, sp = self._batches[i % len(self._batches)]
             yield Batch(pixels=px, spacing=sp, indices=None)
@@ -561,6 +575,8 @@ def main(argv=None) -> int:
         if loader is not None:
             loader.epoch = meta.get("loader_epoch", 0)
             loader.batch_in_epoch = meta.get("loader_batch", 0)
+        elif isinstance(batches, (DeviceSyntheticBatches, SyntheticBatches)):
+            batches.seek(start_step)
 
     if args.pipeline_parallel > 1:
         step_fn = build_pp_train_step(cfg, mesh)
